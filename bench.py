@@ -1,0 +1,64 @@
+"""Benchmark runner: times every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with the noop sink (df.write.format("noop"))
+so projection/aggregation work is not optimized away by a count()."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from etl_caic_spark.registry import all_specs
+from etl_caic_spark.session import get_spark
+
+
+def run_once(spark, spec, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = spec.fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="etl-caic-spark-bench", cpus=cpus)
+    specs = all_specs()
+
+    # JVM/codegen warmup on a trivial job so the first query isn't charged
+    # for session spin-up.
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(specs):
+        try:
+            timings[name] = round(run_once(spark, specs[name], sf_dir), 4)
+        except Exception as exc:  # pragma: no cover - bench must not die
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

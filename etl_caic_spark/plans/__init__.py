@@ -1,0 +1,9 @@
+"""Plan registry package.
+
+Importing this package registers every named query (SURVEY.md §2.C) into
+:mod:`etl_caic_spark.registry`. Modules are grouped by milestone surface.
+"""
+
+from etl_caic_spark.registry import REGISTRY, QuerySpec, all_specs  # noqa: F401
+
+from etl_caic_spark.plans import relational  # noqa: F401,E402

@@ -1,0 +1,44 @@
+"""SparkSession factory.
+
+Single place where engine-level knobs are set (SURVEY.md §4.2): AQE on,
+shuffle partitions sized for the scale factor, UTC session timezone (so the
+DuckDB oracle's naive-UTC timestamps agree), Arrow for pandas interchange.
+
+On a real cluster the same builder is used with ``master`` left to the
+submitter; locally we default to ``local[$SPARK_GRAFT_CPUS]``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl-caic-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    if shuffle_partitions is None:
+        # local mode: ~cores, not the 200 default (right-sized for test SFs;
+        # at 100 TB this is instead set to ~2-3x total cluster cores and AQE
+        # coalesces the tail).
+        shuffle_partitions = max(cpus, 4)
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
