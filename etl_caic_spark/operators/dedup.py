@@ -1,0 +1,295 @@
+"""Deduplication operators for large-scale text corpora (BASELINE.json
+north star; SURVEY.md §2.C "LLM-data-pipeline extensions").
+
+Four tiers, all pure DataFrame dataflow (no Python in the hot path, no
+O(n²) full cross products):
+
+- exact_dedup:        content-hash groupBy, keep-first.
+- ngram_jaccard_pairs: exact Jaccard over word k-gram shingles via a
+                       shingle-inverted-index self-join (SQL-expressible →
+                       strong DuckDB oracle).
+- minhash_lsh_pairs:  MinHash signatures + LSH banding → candidate pairs →
+                      signature-similarity verification. The 100 TB path:
+                      cost is O(docs × shingles) + a band-bucket shuffle,
+                      never all-pairs.
+- simhash_pairs:      63-bit SimHash fingerprints + 4-block pigeonhole
+                      banding for hamming-distance candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def word_shingles(text_col, k: int = 3):
+    """Distinct word k-gram shingles of a text column, JVM-side only:
+    split → sliding windows via transform(sequence) → array_distinct.
+    Documents shorter than k words contribute their full text as the one
+    shingle (so they still participate)."""
+    words = F.split(text_col, " ")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep-first exact dedup by content hash. Returns one row per distinct
+    content with keep_id (min id), n_dups, and the hash.
+
+    Scale: a single hash-partitioned aggregate on the 128-bit content hash;
+    the reference's build-side dedup (task.ts:97-100) is the same shape but
+    last-write-wins over ids (see caic pipeline operator)."""
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("bigint").alias("n_dups"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_cols: list[str],
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs within buckets.
+
+    Inverted-index join: explode distinct shingles, self-join on
+    (bucket, shingle) with id_a < id_b, count common shingles, then
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|).
+
+    Scale: the join key is the shingle — frequency-skewed shingles are the
+    hazard; in production drop top-percentile document-frequency shingles
+    (stop-shingles) before the join. Buckets bound the candidate space."""
+    shingled = df.select(
+        F.col(id_col).alias("doc"),
+        *[F.col(c) for c in bucket_cols],
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    sizes = shingled.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.doc") < F.col("b.doc")
+    )
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    common = (
+        a.join(b, cond)
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: one explode over distinct shingles,
+    then num_hashes seeded xxhash64 minima in a single aggregate (map-side
+    partial min → tiny shuffle)."""
+    shingled = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    mins = [
+        F.min(F.xxhash64("shingle", F.lit(j))).alias(f"h{j}") for j in range(num_hashes)
+    ]
+    sig = shingled.groupBy("doc").agg(*mins)
+    return sig.select(
+        "doc", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs.
+
+    banding: signature split into `bands` bands of num_hashes/bands rows;
+    band hash = xxhash64(band slice); docs sharing any (band, hash) bucket
+    become candidates; candidates verified by estimated Jaccard =
+    fraction of agreeing signature positions.
+
+    Scale: candidate generation is a groupBy on (band_idx, band_hash) —
+    no all-pairs; huge buckets (degenerate content) are the skew hazard,
+    capped upstream by exact-dedup first."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+
+    banded = sig.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band_idx"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("sig", bi * rows + 1, rows))
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc", "sig", "band.band_idx", "band.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = cand.withColumn(
+        "est_jaccard",
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(num_hashes),
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select(
+        "doc_a", "doc_b", "est_jaccard"
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 63
+) -> DataFrame:
+    """63-bit SimHash: explode words with term counts; per bit position sum
+    +count/-count by whether xxhash64(word) has the bit set; sign vector →
+    fingerprint. 63 bits keeps the fingerprint in a positive BIGINT."""
+    words = df.select(
+        F.col(id_col).alias("doc"), F.explode(F.split(text_col, " ")).alias("word")
+    )
+    wc = words.groupBy("doc", "word").agg(F.count("*").alias("cnt"))
+    wh = wc.withColumn("wh", F.xxhash64("word"))
+    bit_sums = wh.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("wh"), i).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+                .otherwise(-F.col("cnt"))
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = bit_sums.select(
+        "doc",
+        sum(
+            (F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint") * F.lit(2**i).cast("bigint"))
+            for i in range(bits)
+        ).alias("fingerprint"),
+    )
+    return fp
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 63,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the fingerprint into `blocks` bit-blocks; any
+    pair within hamming <= blocks-1 must agree on at least one whole block,
+    so joining on (block_idx, block_value) finds all such pairs without an
+    all-pairs scan. Requires max_hamming <= blocks - 1 for completeness."""
+    if max_hamming > blocks - 1:
+        raise ValueError("completeness requires max_hamming <= blocks - 1")
+    fp = simhash_fingerprints(df, id_col, text_col, bits)
+    width = bits // blocks + 1
+    mask = (1 << width) - 1
+    blocked = fp.select(
+        "doc",
+        "fingerprint",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("block_idx"),
+                        F.shiftright(F.col("fingerprint"), bi * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block_val"),
+                    )
+                    for bi in range(blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc", "fingerprint", "blk.block_idx", "blk.block_val")
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.fingerprint").alias("fp_a"),
+            F.col("b.fingerprint").alias("fp_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def keep_first_after_pairs(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Given near-dup pairs, drop the higher-id member of every pair
+    (greedy single-pass policy; a full connected-components dedup would use
+    an iterative join — out of scope for the operator itself)."""
+    drop = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return df.join(drop, on=id_col, how="left_anti")

@@ -9,3 +9,4 @@ from etl_caic_spark.registry import REGISTRY, QuerySpec, all_specs  # noqa: F401
 from etl_caic_spark.plans import relational  # noqa: F401,E402
 from etl_caic_spark.plans import scalar  # noqa: F401,E402
 from etl_caic_spark.plans import windows  # noqa: F401,E402
+from etl_caic_spark.plans import llm  # noqa: F401,E402
