@@ -1,0 +1,100 @@
+"""Multimodal column plumbing (BASELINE.json north star): image/audio/video
+as opaque BINARY columns with typed metadata structs, decoded/feature-
+extracted via Arrow-batched mapInPandas.
+
+The container has no image/audio libraries, so the actual codec step is
+STUBBED (NotImplementedError behind an import-try, with a deterministic
+fake used in its place) — but everything Spark-side is real and tested:
+the binary column, the metadata schema, the mapInPandas batch iterator
+signature, partition behavior, and the frame-sampling explode.
+
+Scale: payload bytes travel in the columns (at 100 TB the binary column
+lives in parquet row groups next to its metadata — no side files, no
+driver round-trips); decode runs partition-parallel in Arrow batches
+sized by spark.sql.execution.arrow.maxRecordsPerBatch."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id bigint, n_bytes int, checksum string, width int, height int, n_frames int"
+)
+
+
+def attach_binary_payload(docs: DataFrame) -> DataFrame:
+    """Turn the documents table into a multimodal-shaped table: an opaque
+    binary payload column plus a typed metadata struct (mime / declared
+    dims), derived deterministically from the text."""
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            (F.octet_length("text") % 64 + 16).cast("int").alias("width"),
+            (F.octet_length("text") % 48 + 16).cast("int").alias("height"),
+        ).alias("media_meta"),
+    )
+
+
+def _decode_real(payload: bytes):  # pragma: no cover - no codecs in container
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires pillow; container ships none — "
+            "using deterministic fake decode"
+        ) from exc
+    raise NotImplementedError("real decode path not wired in this environment")
+
+
+def _decode_fake(payload: bytes) -> tuple[int, str, int, int]:
+    """Deterministic stand-in for the codec: byte stats instead of pixels."""
+    digest = hashlib.sha256(payload).hexdigest()[:16]
+    n = len(payload)
+    return n, digest, n % 64 + 16, n % 48 + 16
+
+
+def decode_media(df: DataFrame, frame_every: int = 64) -> DataFrame:
+    """mapInPandas 'decode' + feature extraction: per row, byte length,
+    checksum, decoded dims, and a frame count (len // frame_every — the
+    video-ish frame-sampling knob). Swap _decode_fake for _decode_real when
+    codecs exist; the Spark-side contract is identical."""
+
+    def _decode(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [],
+                "checksum": [],
+                "width": [],
+                "height": [],
+                "n_frames": [],
+            }
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                n, digest, w, h = _decode_fake(raw)
+                out["n_bytes"].append(n)
+                out["checksum"].append(digest)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(max(n // frame_every, 1))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_decode, DECODED_SCHEMA)
+
+
+def sample_frames(decoded: DataFrame) -> DataFrame:
+    """Explode one row per sampled frame index (the video frame-sample
+    pattern): deterministic, JVM-side sequence+explode — no Python."""
+    return decoded.select(
+        "doc_id",
+        "n_frames",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+    )

@@ -10,3 +10,7 @@ from etl_caic_spark.plans import relational  # noqa: F401,E402
 from etl_caic_spark.plans import scalar  # noqa: F401,E402
 from etl_caic_spark.plans import windows  # noqa: F401,E402
 from etl_caic_spark.plans import llm  # noqa: F401,E402
+from etl_caic_spark.plans import udfq  # noqa: F401,E402
+from etl_caic_spark.plans import streamingq  # noqa: F401,E402
+from etl_caic_spark.plans import caicq  # noqa: F401,E402
+from etl_caic_spark.plans import multimodalq  # noqa: F401,E402

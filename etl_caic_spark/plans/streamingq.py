@@ -1,0 +1,115 @@
+"""Streaming-operator queries (milestone M4). The driver-facing queries run
+the BATCH form of each windowed aggregation (oracled in DuckDB via
+time_bucket / gaps-and-islands); tests/test_streaming.py replays the same
+transformations as real Structured Streaming file streams and asserts
+equality (batch↔stream equivalence, SURVEY.md §5.2.3).
+
+stream_watermark runs a REAL streaming query (availableNow + memory sink)
+inside the builder; its append-mode emission rule is still SQL-expressible
+(windows closed before max_ts - delay), so even that one is oracled."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_caic_spark.registry import register
+from etl_caic_spark.sources import load_table
+from etl_caic_spark.streaming import windows as SW
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window aggregation (batch form of the streaming
+    operator; stream equivalence asserted in tests)."""
+    return SW.tumbling_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+                      - k * INTERVAL '15 minutes',
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) offsets
+    GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 minutes — each event lands in 4
+    windows (oracle: offset cross join, the SQL dual of slide)."""
+    return SW.sliding_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                    OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                       >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("streaming",),
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user. Oracle: gaps-and-islands
+    SQL — a new session starts when the gap is >= 30min (Spark sessions are
+    half-open [start, last+gap))."""
+    return SW.session_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_watermark",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS max_ts FROM events)
+    SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    HAVING time_bucket(INTERVAL '1 hour', min(CAST(ts AS TIMESTAMP)))
+             + INTERVAL '1 hour'
+           <= (SELECT max_ts - INTERVAL '10 minutes' FROM mx)
+    """,
+    tags=("streaming",),
+)
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming query: file-source replay (availableNow),
+    10-minute watermark, append-mode tumbling counts via the memory sink.
+    Append mode emits exactly the windows whose end <= final watermark
+    (max event time - 10min) — the oracle's HAVING clause."""
+    stream = SW.read_events_stream(spark, sf_dir)
+    agg = SW.watermarked_tumbling(stream, "10 minutes")
+    return SW.run_stream_to_table(spark, agg, "append")

@@ -1,0 +1,129 @@
+"""Structured Streaming operators (SURVEY.md §2.C streaming; milestone M4).
+
+The reference's mode is a scheduled batch pull (task.ts:57 Schedule
+invocation) — its streaming analogue is a file-source stream with
+Trigger.AvailableNow. Each windowed aggregation here is written as a
+transformation that applies identically to a batch DataFrame and a
+streaming DataFrame, which is what makes the batch↔stream equivalence
+harness (SURVEY.md §5.2.3) possible: the batch form is oracled in DuckDB,
+the streaming form must match the batch form.
+
+Scale: windowed/stateful aggs shuffle on (window, key); state store size is
+bounded by the watermark horizon, and `session_window` merges state
+per key — the standard Structured Streaming story, nothing custom.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Parquet TIMESTAMP(NANOS) arrives as raw INT64 under the nanosAsLong flag;
+# the stream reader needs the schema up front.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file source requires a directory; glob-filter to the events file.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return _normalize_ts(raw)
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """1-hour tumbling window counts/sums per event_type."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 15 minutes, per event_type."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def session_agg(events: DataFrame) -> DataFrame:
+    """30-minute-gap session windows per user: [first_ts, last_ts + gap)."""
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def watermarked_tumbling(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Tumbling agg with a watermark. In append mode only windows whose end
+    precedes the final watermark (max event time - delay) are emitted —
+    deterministic for a replayed file source, and oracle-expressible as a
+    window-end filter over the batch result."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def run_stream_to_table(
+    spark: SparkSession, streaming_df: DataFrame, output_mode: str
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion via the memory sink
+    (availableNow file replay) and return the result as a DataFrame."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
