@@ -85,34 +85,49 @@ def predict_lang(text: Column) -> Column:
     return expr
 
 
-def winnowing_fingerprints(
-    text: Column, kgram: int = 5, window: int = 4
-) -> Column:
+def winnowing_fingerprint_col(df: DataFrame, text_col: str, out_col: str,
+                              kgram: int = 5, window: int = 4) -> DataFrame:
     """Winnowing fingerprint set (Schleimer et al., SIGMOD'03 style):
     char k-grams → portable polynomial rolling hash → min per sliding
     window of `window` hashes → sorted distinct mins.
 
-    The hash is (h*31 + ascii(char)) mod 2^30 — implementable identically
-    in DuckDB SQL, so the whole fingerprint is oracle-checkable."""
-    n = F.length(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (kgram - 1), F.lit(1))),
-        lambda i: F.substr(text, i, F.lit(kgram)),
+    The k-gram hash is the closed-form polynomial
+    sum(ascii(c_j) * 31^(k-1-j)) mod 2^30 (== the iterated
+    (h*31 + c) mod 2^30 fold, since every partial value fits a BIGINT) —
+    implementable identically in DuckDB SQL, so the whole fingerprint is
+    oracle-checkable.
+
+    Each intermediate array is materialized as its own column: referencing
+    a lambda-produced array from several later expressions would re-evaluate
+    it per element (no CSE across higher-order-function boundaries — this
+    was a 40s → <1s difference at sf0.1)."""
+    pows = [31 ** (kgram - 1 - j) for j in range(kgram)]
+    codes_df = df.withColumn(
+        "_codes", F.transform(F.split(F.col(text_col), ""), lambda c: F.ascii(c).cast("bigint"))
     )
-    hashes = F.transform(
-        grams,
-        lambda g: F.aggregate(
-            F.split(g, ""),
-            F.lit(0).cast("bigint"),
-            lambda acc, ch: (acc * 31 + F.coalesce(F.ascii(ch), F.lit(0))) % F.lit(2**30),
+    n = F.size("_codes")
+    hashed = codes_df.withColumn(
+        "_hashes",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (kgram - 1), F.lit(1))),
+            lambda i: sum(
+                (F.element_at("_codes", i + j) * F.lit(pows[j]) for j in range(1, kgram)),
+                F.element_at("_codes", i) * F.lit(pows[0]),
+            )
+            % F.lit(2**30),
         ),
     )
-    nh = F.size(hashes)
-    window_mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(nh - (window - 1), F.lit(1))),
-        lambda i: F.array_min(F.slice(hashes, i, window)),
+    nh = F.size("_hashes")
+    mins = hashed.withColumn(
+        "_mins",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(nh - (window - 1), F.lit(1))),
+            lambda i: F.array_min(F.slice("_hashes", i, window)),
+        ),
     )
-    return F.array_sort(F.array_distinct(window_mins))
+    return mins.withColumn(out_col, F.array_sort(F.array_distinct("_mins"))).drop(
+        "_codes", "_hashes", "_mins"
+    )
 
 
 def text_stats(docs: DataFrame) -> DataFrame:

@@ -283,19 +283,16 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_fingerprint",
     oracle="""
-    WITH g AS (
+    WITH c AS (
       SELECT doc_id,
-             [substring(text, i, 5)
-              for i in generate_series(1, greatest(length(text) - 4, 1))] AS grams
+             [CAST(ord(ch) AS BIGINT) for ch in string_split(text, '')] AS codes
       FROM documents WHERE doc_id % 25 = 0
     ), h AS (
       SELECT doc_id,
-             [list_reduce(
-                list_prepend(CAST(0 AS BIGINT),
-                             [CAST(ord(c) AS BIGINT) for c in string_split(gr, '')]),
-                (a, b) -> (a * 31 + b) % 1073741824)
-              for gr in grams] AS hashes
-      FROM g
+             [(codes[i] * 923521 + codes[i+1] * 29791 + codes[i+2] * 961
+               + codes[i+3] * 31 + codes[i+4]) % 1073741824
+              for i in generate_series(1, greatest(len(codes) - 4, 1))] AS hashes
+      FROM c
     )
     SELECT doc_id,
            list_sort(list_distinct(
@@ -311,9 +308,6 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a portable polynomial hash — fully oracle-checkable
     (operators/text_analysis.winnowing_fingerprints)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
-    return d.select(
-        "doc_id",
-        T.winnowing_fingerprints(F.col("text"), kgram=5, window=4).alias(
-            "fingerprints"
-        ),
-    )
+    return T.winnowing_fingerprint_col(
+        d, "text", "fingerprints", kgram=5, window=4
+    ).select("doc_id", "fingerprints")
