@@ -1,0 +1,75 @@
+"""Scale-pattern tests: bucketed joins must plan without a shuffle;
+salted aggregation/join must produce identical results to the direct
+form. These pin the 100 TB design claims (SURVEY.md §7.4.6) to observable
+plan/result properties at test scale."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_caic_spark.operators.bucketing import (
+    bucketed_join,
+    exchange_count,
+    write_bucketed,
+)
+from etl_caic_spark.operators.skew import salted_groupby_sum, salted_join
+from etl_caic_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    write_bucketed(li, "li_bucketed", "l_orderkey", 8)
+    write_bucketed(o, "o_bucketed", "o_orderkey", 8)
+    yield "li_bucketed", "o_bucketed"
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
+    lt, rt = bucketed_tables
+    j = bucketed_join(spark, lt, rt, "l_orderkey", "o_orderkey")
+    n_rows = j.count()
+    assert n_rows == load_table(spark, sf_dir, "lineitem").count()
+    assert exchange_count(j) == 0, "bucketed join must not shuffle"
+    # the same join on plain parquet DOES shuffle (merge hint pins SMJ so
+    # the comparison is like-for-like)
+    li = load_table(spark, sf_dir, "lineitem").hint("merge")
+    o = load_table(spark, sf_dir, "orders")
+    plain = li.join(o, li["l_orderkey"] == o["o_orderkey"], "inner")
+    plain.count()
+    assert exchange_count(plain) > 0
+
+
+def test_salted_groupby_matches_direct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = {
+        (r["l_returnflag"],): (round(r["s"], 2), r["n"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    salted = {
+        (r["l_returnflag"],): (round(r["sum_l_quantity"], 2), r["n_rows"])
+        for r in salted_groupby_sum(li, ["l_returnflag"], "l_quantity").collect()
+    }
+    assert direct == salted
+
+
+def test_salted_join_matches_direct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    direct = (
+        li.join(p, li["l_partkey"] == p["p_partkey"], "inner")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+    )
+    salted = (
+        salted_join(li, p, "l_partkey", "p_partkey", salt_n=8)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, salted.collect()))
