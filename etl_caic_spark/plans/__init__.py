@@ -16,3 +16,4 @@ from etl_caic_spark.plans import caicq  # noqa: F401,E402
 from etl_caic_spark.plans import multimodalq  # noqa: F401,E402
 from etl_caic_spark.plans import relational2  # noqa: F401,E402
 from etl_caic_spark.plans import relational3  # noqa: F401,E402
+from etl_caic_spark.plans import relational4  # noqa: F401,E402

@@ -4,9 +4,6 @@ headline queries, and connected-components dedup groups."""
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -14,6 +11,7 @@ from etl_caic_spark.operators import dedup as D
 from etl_caic_spark.operators.components import dedup_groups
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
+from etl_caic_spark.util import scratch_path
 
 
 @register(
@@ -31,7 +29,7 @@ def sink_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Overwrite mode = idempotent re-runs (SURVEY.md §2.B.8)."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 9 == 0)
     out = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
-    path = os.path.join(tempfile.gettempdir(), "etl_caic_sink_roundtrip")
+    path = scratch_path("etl_caic_sink_roundtrip")
     out.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 

@@ -15,8 +15,9 @@ per key — the standard Structured Streaming story, nothing custom.
 
 from __future__ import annotations
 
-import tempfile
 import uuid
+
+from etl_caic_spark.util import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -121,7 +122,7 @@ def run_stream_to_table(
         streaming_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", scratch_dir("ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
