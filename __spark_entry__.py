@@ -11,11 +11,18 @@ thin shim over its query registry (etl_caic_spark/registry.py).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_caic_spark.registry import all_specs
+# Make the package importable regardless of the driver's CWD.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from etl_caic_spark.registry import all_specs  # noqa: E402
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 

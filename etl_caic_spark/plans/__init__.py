@@ -18,3 +18,4 @@ from etl_caic_spark.plans import relational2  # noqa: F401,E402
 from etl_caic_spark.plans import relational3  # noqa: F401,E402
 from etl_caic_spark.plans import relational4  # noqa: F401,E402
 from etl_caic_spark.plans import relational5  # noqa: F401,E402
+from etl_caic_spark.plans import formats  # noqa: F401,E402

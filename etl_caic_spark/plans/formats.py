@@ -1,0 +1,98 @@
+"""Source/sink format coverage (milestone M11): CSV / JSON-lines / ORC
+writers + schema-explicit readers (lossless roundtrips, oracled against
+the source query), and a hive-partitioned parquet dataset whose reads
+prune partitions (the single most important scan optimization at 100 TB;
+pruning is plan-asserted in tests/test_formats.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_caic_spark.registry import register
+from etl_caic_spark.sources import load_table
+from etl_caic_spark.util import scratch_path
+
+_ROUNDTRIP_ORACLE = """
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+    FROM lineitem
+    WHERE l_orderkey % 19 = 0
+"""
+
+_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_quantity", T.DoubleType()),
+    ]
+)
+
+
+def _roundtrip_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 19 == 0)
+    return li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+
+@register("sink_csv_roundtrip", oracle=_ROUNDTRIP_ORACLE, tags=("sink", "format"))
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write → schema-explicit CSV read (never inferSchema in an
+    engine path — inference is a full extra pass and type-unstable)."""
+    path = scratch_path("roundtrip_csv")
+    _roundtrip_src(spark, sf_dir).write.mode("overwrite").option("header", True).csv(
+        path
+    )
+    return spark.read.schema(_ROUNDTRIP_SCHEMA).option("header", True).csv(path)
+
+
+@register("sink_jsonl_roundtrip", oracle=_ROUNDTRIP_ORACLE, tags=("sink", "format"))
+def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write → schema-explicit JSON read (the reference's
+    payload format, file-shaped)."""
+    path = scratch_path("roundtrip_jsonl")
+    _roundtrip_src(spark, sf_dir).write.mode("overwrite").json(path)
+    return spark.read.schema(_ROUNDTRIP_SCHEMA).json(path)
+
+
+@register("sink_orc_roundtrip", oracle=_ROUNDTRIP_ORACLE, tags=("sink", "format"))
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → read (second columnar format; same pushdown story as
+    parquet)."""
+    path = scratch_path("roundtrip_orc")
+    _roundtrip_src(spark, sf_dir).write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@register(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY o_orderstatus
+    """,
+    tags=("scan", "partition"),
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned dataset scan with static partition pruning: orders
+    re-laid-out as .../o_year=YYYY/...; the year filter prunes whole
+    directories before any IO (PartitionFilters in the scan node —
+    asserted in tests). At 100 TB this is the difference between reading
+    2 years and reading 30."""
+    path = scratch_path("orders_by_year")
+    src = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    src.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    part = spark.read.parquet(path)
+    return (
+        part.filter(F.col("o_year").isin(1996, 1997))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

