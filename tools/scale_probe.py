@@ -1,0 +1,127 @@
+"""Scale-headroom probe: replicate the sf0.1 tables 10x and 30x into
+.tmp (with shifted keys so cardinalities grow too), then time
+representative operators at each scale. Near-linear growth = the plan
+survives scale-up; superlinear growth = a quadratic hiding somewhere.
+
+Usage: python tools/scale_probe.py [factors...]  (default 1 10 30)
+Writes one JSON line per run to stdout."""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_caic_spark.operators.asof import asof_join  # noqa: E402
+from etl_caic_spark.operators.dedup import minhash_lsh_pairs  # noqa: E402
+from etl_caic_spark.session import get_spark  # noqa: E402
+from etl_caic_spark.sources import load_table  # noqa: E402
+from etl_caic_spark.streaming.windows import sliding_agg  # noqa: E402
+from etl_caic_spark.util import scratch_path  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def replicate(spark, name, factor, id_col, shift):
+    """Replicate a table factor x with shifted keys. For documents the text
+    is also perturbed per replica (prefix token) so replicas are DISTINCT
+    documents — replicating identical texts would measure the exact-dup hot
+    bucket pathology instead of corpus growth (exact dedup runs before
+    near-dup in the real pipeline order, SCALE.md)."""
+    base = load_table(spark, SF_DIR, name)
+    if factor == 1:
+        return base
+    path = scratch_path(f"scale_{name}_x{factor}")
+    copies = base.withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+    out = copies.withColumn(
+        id_col,
+        F.col(id_col) + F.col("_rep").cast("bigint") * F.lit(shift).cast("bigint"),
+    )
+    if name == "documents":
+        # Rotate the alphabet per replica: intra-replica near-dup structure
+        # is preserved (same substitution applied to every doc), replicas of
+        # the same doc share ~no shingles → dup-rate stays constant as the
+        # corpus grows (linear, not quadratic, true-pair growth).
+        alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+        expr = F.col("text")
+        for r in range(1, factor):
+            rot = alpha[r % len(alpha):] + alpha[: r % len(alpha)]
+            expr = F.when(
+                F.col("_rep") == r, F.translate("text", alpha, rot)
+            ).otherwise(expr)
+        out = out.withColumn("text", expr)
+    out = out.drop("_rep")
+    out.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def timeit(fn):
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 2)
+
+
+def main():
+    factors = [int(x) for x in sys.argv[1:]] or [1, 10, 30]
+    spark = get_spark(app_name="scale-probe", cpus=32)
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+
+    for factor in factors:
+        ev = replicate(spark, "events", factor, "event_id", 10_000_000)
+        docs = replicate(spark, "documents", factor, "doc_id", 10_000_000)
+        li = replicate(spark, "lineitem", factor, "l_orderkey", 100_000_000)
+
+        def noop(df):
+            df.write.format("noop").mode("overwrite").save()
+
+        timings = {
+            "rows_events": ev.count(),
+            "rows_docs": docs.count(),
+            "rows_lineitem": li.count(),
+            "q1_agg": timeit(
+                lambda: noop(
+                    li.groupBy("l_returnflag", "l_linestatus").agg(
+                        F.sum("l_quantity"), F.count("*")
+                    )
+                )
+            ),
+            "window_sliding": timeit(lambda: noop(sliding_agg(ev))),
+            "asof_join": timeit(
+                lambda: noop(
+                    asof_join(
+                        ev.filter(F.col("event_type") == "purchase").select(
+                            "event_id", "user_id", "ts", "value"
+                        ),
+                        ev.filter(F.col("event_type") == "click")
+                        .groupBy("user_id", "ts")
+                        .agg(F.max("event_id").alias("click_id")),
+                        on=["user_id"],
+                        left_ts="ts",
+                        right_ts="ts",
+                        right_values=["click_id"],
+                    )
+                )
+            ),
+            "minhash_lsh": timeit(
+                lambda: noop(
+                    minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=16)
+                )
+            ),
+            "topk_per_user": timeit(
+                lambda: noop(
+                    ev.groupBy("user_id").agg(
+                        F.max_by("event_id", "value").alias("best")
+                    )
+                )
+            ),
+        }
+        print(json.dumps({"factor": factor, **timings}), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
