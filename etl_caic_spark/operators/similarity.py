@@ -160,6 +160,70 @@ def ivf_topk(
     )
 
 
+def ivf_topk_trained(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """IVF top-k with a TRAINED coarse quantizer (operators/kmeans.py):
+    centroids(cluster, centroid) partition the corpus via nearest-centroid
+    assignment (one broadcast pass); queries probe the nprobe nearest
+    cells. This is the production IVF shape — the per-label variant in
+    ivf_topk is the zero-training fallback."""
+    from etl_caic_spark.operators.kmeans import assign_clusters
+
+    corpus_cells = assign_clusters(corpus, centroids, id_col, vec_col)
+    c = with_norm(corpus_cells, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("cluster").alias("pt"),
+        F.col("_vec").alias("c_vec"),
+        F.col("_norm").alias("c_norm"),
+    )
+    cent = centroids.select(
+        F.col("cluster").alias("pt"), F.col("centroid").alias("c_vec")
+    ).withColumn("c_norm", F.sqrt(_dot(F.col("c_vec"), F.col("c_vec"))))
+
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_vec").alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "c_sim",
+            cosine(F.col("q_vec"), F.col("q_norm"), F.col("c_vec"), F.col("c_norm")),
+        )
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("c_sim").desc(), "pt")
+            ),
+        )
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "q_vec", "q_norm", "pt")
+    )
+    cand = probes.join(c, "pt").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.withColumn(
+        "cosine",
+        F.round(
+            cosine(F.col("q_vec"), F.col("q_norm"), F.col("c_vec"), F.col("c_norm")),
+            sim_decimals,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.select("query_id", "vec_id", "cosine")
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

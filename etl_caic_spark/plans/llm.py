@@ -151,6 +151,19 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(queries, e, k=5, nprobe=2)
 
 
+@register("sim_topk_ivf_kmeans", oracle=None, tags=("similarity", "approx"))
+def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with a TRAINED k-means(8) coarse quantizer
+    (operators/kmeans.py + operators/similarity.ivf_topk_trained) —
+    the production IVF shape; recall vs brute force is a pytest check."""
+    from etl_caic_spark.operators.kmeans import kmeans_fit
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(e, "vec_id", "embedding", k=8, max_iter=3)
+    queries = e.filter(F.col("vec_id") < 10)
+    return S.ivf_topk_trained(queries, e, centroids, k=5, nprobe=2)
+
+
 @register(
     "dedup_embedding_cosine",
     oracle="""

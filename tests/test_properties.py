@@ -104,6 +104,20 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.2, f"IVF recall {recall:.2f} too low"
 
 
+def test_ivf_kmeans_recall(spark, sf_dir):
+    """Trained-quantizer IVF should reach reasonable recall of the true
+    top-5 with nprobe=2 of 8 cells; scored hits must match brute cosine."""
+    brute = {(r["query_id"], r["vec_id"]): r["cosine"]
+             for r in SPECS["sim_topk_cosine"].fn(spark, sf_dir).collect()}
+    ivf = {(r["query_id"], r["vec_id"]): r["cosine"]
+           for r in SPECS["sim_topk_ivf_kmeans"].fn(spark, sf_dir).collect()}
+    assert ivf
+    for key in set(ivf) & set(brute):
+        assert ivf[key] == brute[key]
+    recall = len(set(ivf) & set(brute)) / len(brute)
+    assert recall >= 0.2, f"IVF-kmeans recall {recall:.2f}"
+
+
 def test_urlencode_matches_python(spark, sf_dir):
     rows = SPECS["fn_urlencode"].fn(spark, sf_dir).collect()
     assert rows
