@@ -127,7 +127,7 @@ def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "filter_nullsafe",
     oracle="""
-    SELECT vec_id, label, len(embedding) AS dim
+    SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim
     FROM embeddings
     WHERE embedding IS NOT NULL AND len(embedding) > 0 AND label IS NOT NULL
     """,

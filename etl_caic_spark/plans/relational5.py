@@ -105,9 +105,9 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(list_filter(words, x -> length(x) > 4)) > 0 AS has_long_word,
            len(list_filter(words, x -> length(x) > 0)) = len(words) AS all_nonempty,
-           list_sort(list_distinct(list_transform(words, x -> length(x))))
-             AS distinct_lengths,
-           [x for x in generate_series(1, 3)] AS one_two_three,
+           CAST(list_sort(list_distinct(list_transform(words, x -> length(x))))
+                AS INTEGER[]) AS distinct_lengths,
+           CAST([x for x in generate_series(1, 3)] AS INTEGER[]) AS one_two_three,
            list_sort(list_distinct(words))[1] AS alpha_first
     FROM w
     """,

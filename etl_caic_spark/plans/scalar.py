@@ -206,7 +206,8 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "explode_pos",
     oracle="""
     SELECT doc_id,
-           unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos,
+           CAST(unnest(generate_series(0, len(string_split(text, ' ')) - 1))
+                AS INTEGER) AS pos,
            unnest(string_split(text, ' ')) AS word
     FROM documents
     WHERE doc_id % 20 = 0

@@ -34,6 +34,38 @@ def canon(v):
     return f"{type(v).__name__[0]}:{v}"
 
 
+# DuckDB type → Spark simpleString type, for strict schema comparison.
+DUCK_TO_SPARK = {
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "DOUBLE": "double",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "FLOAT": "float",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP_NS": "timestamp",
+    "FLOAT[]": "array<float>",
+    "DOUBLE[]": "array<double>",
+    "BIGINT[]": "array<bigint>",
+    "INTEGER[]": "array<int>",
+    "VARCHAR[]": "array<string>",
+}
+
+
+def type_mismatches(con, oracle_sql, spark_dtypes):
+    desc = con.sql("DESCRIBE (" + oracle_sql + ")").fetchall()
+    duck_types = {r[0]: r[1] for r in desc}
+    out = []
+    for col, st in spark_dtypes:
+        dt = duck_types.get(col)
+        if dt is None:
+            continue
+        if DUCK_TO_SPARK.get(dt, dt) != st.replace("timestamp_ntz", "timestamp"):
+            out.append(f"{col}: spark={st} duck={dt}")
+    return out
+
+
 def value_hash(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     canon_rows = sorted(tuple(canon(r[i]) for i in order) for r in rows)
@@ -85,8 +117,12 @@ def main():
             print(f"FAIL  {name}: oracle error: {exc}")
             bad += 1
             continue
+        mism = type_mismatches(con, oracles[name], sdf.dtypes)
         if sorted(scols) != sorted(ocols):
             print(f"FAIL  {name}: cols spark={sorted(scols)} duck={sorted(ocols)}")
+            bad += 1
+        elif mism:
+            print(f"FAIL  {name}: type mismatch {mism}")
             bad += 1
         elif len(srows) != len(orows):
             print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(orows)}")
