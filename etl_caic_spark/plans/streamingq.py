@@ -90,6 +90,66 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '1 hour'
+     AND c.ts <= p.ts
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream inner interval join: purchases ⋈ clicks within
+    the preceding hour per user, both sides watermarked (state for the
+    click side is bounded to the 1h+watermark horizon). Inner joins emit
+    every matched pair regardless of watermark progress, so an
+    availableNow replay equals the batch interval join — the oracle.
+
+    Scale: stream-stream joins shuffle both sides on user_id; the interval
+    condition bounds state retention — the streaming analogue of the
+    as-of/range join."""
+    from pyspark.sql import functions as SF
+
+    p = (
+        SW.read_events_stream(spark, sf_dir)
+        .filter(SF.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            SF.col("event_id").alias("purchase_id"),
+            "user_id",
+            SF.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        SW.read_events_stream(spark, sf_dir)
+        .filter(SF.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            SF.col("event_id").alias("click_id"),
+            SF.col("user_id").alias("c_user"),
+            SF.col("ts").alias("c_ts"),
+        )
+    )
+    joined = p.join(
+        c,
+        (SF.col("user_id") == SF.col("c_user"))
+        & (SF.col("c_ts") >= SF.col("p_ts") - SF.expr("INTERVAL 1 HOUR"))
+        & (SF.col("c_ts") <= SF.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id")
+    return SW.run_stream_to_table(spark, joined, "append")
+
+
+@register(
     "stream_watermark",
     oracle="""
     WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS max_ts FROM events)
