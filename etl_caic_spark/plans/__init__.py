@@ -19,3 +19,4 @@ from etl_caic_spark.plans import relational3  # noqa: F401,E402
 from etl_caic_spark.plans import relational4  # noqa: F401,E402
 from etl_caic_spark.plans import relational5  # noqa: F401,E402
 from etl_caic_spark.plans import formats  # noqa: F401,E402
+from etl_caic_spark.plans import relational6  # noqa: F401,E402
