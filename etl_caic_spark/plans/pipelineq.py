@@ -1,0 +1,165 @@
+"""Pipeline-composition queries (milestone M14): MERGE/upsert emulation
+(no Delta in this environment — anti-join + union, the classic recipe),
+quality-threshold corpus filtering, and PII redaction — the remaining
+staples of a production training-data ETL."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_caic_spark.registry import register
+from etl_caic_spark.sources import load_table
+
+
+@register(
+    "scd_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             round(c_acctbal + 1000, 2) AS c_acctbal,
+             'UPDATED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 5 = 0
+    ), inserts AS (
+      SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey,
+             0.0 AS c_acctbal, 'NEW' AS c_mktsegment
+      FROM customer WHERE c_custkey % 50 = 0
+    ), upd AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts)
+    SELECT b.c_custkey, b.c_name, b.c_nationkey,
+           round(b.c_acctbal, 2) AS c_acctbal, b.c_mktsegment
+    FROM customer b
+    WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = b.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2), c_mktsegment
+    FROM upd
+    """,
+    tags=("pipeline", "merge"),
+)
+def scd_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation without a table format: base rows not matched
+    by updates (left anti) + all update rows (updates win). The updates
+    frame contains both modified rows and brand-new keys, so both MERGE
+    arms (UPDATE and INSERT) are exercised.
+
+    Scale: one anti-join shuffle on the key + a union — the same shape a
+    Delta/Iceberg MERGE plans under the hood (minus file-level pruning,
+    which the table formats add)."""
+    base = load_table(spark, sf_dir, "customer")
+    updates = base.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") + 1000, 2).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    inserts = base.filter(F.col("c_custkey") % 50 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    upd = updates.unionByName(inserts)
+    kept = base.join(upd, "c_custkey", "left_anti").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    return kept.unionByName(upd)
+
+
+@register(
+    "text_quality_filter",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             round(least(len(string_split(text, ' ')) / 60.0, 1.0) * 0.4
+                   + (len(list_distinct(string_split(text, ' '))) * 1.0
+                      / len(string_split(text, ' '))) * 0.4
+                   + (1 - len(list_filter(string_split(text, ' '),
+                        w -> list_contains(['a','the','of','to','and','row','key'], w)))
+                        * 1.0 / len(string_split(text, ' '))) * 0.2, 6) AS q
+      FROM documents
+    )
+    SELECT doc_id, lang, q AS quality_score
+    FROM scored
+    WHERE q >= (SELECT round(quantile_cont(q, 0.25), 6) FROM scored)
+    """,
+    tags=("pipeline", "text"),
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold corpus filter: keep documents whose composite
+    quality score clears the corpus 25th percentile — scoring + scalar
+    percentile subquery + filter, the canonical pretraining quality gate.
+    (Exact percentile here for the oracle; at 100 TB the threshold comes
+    from percentile_approx and is broadcast.)"""
+    from etl_caic_spark.operators.text_analysis import quality_features
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", quality_features(F.col("text"))["quality_score"].alias("q")
+    )
+    scored.createOrReplaceTempView("scored_quality_tmp")
+    return spark.sql(
+        """
+        SELECT doc_id, lang, q AS quality_score
+        FROM scored_quality_tmp
+        WHERE q >= (SELECT round(percentile(q, 0.25), 6)
+                    FROM scored_quality_tmp)
+        """
+    )
+
+
+@register(
+    "text_redact_pii",
+    oracle="""
+    WITH enriched AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1-303-555-01' || CAST(doc_id % 100 AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 15 = 0
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9()\\-]{7,}[0-9]', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+             AS n_emails
+    FROM enriched
+    """,
+    tags=("pipeline", "text"),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: email + phone patterns replaced with placeholder
+    tokens (deterministic synthetic PII is injected into a slice of docs
+    so the redaction paths actually fire). Pure regexp_replace — codegen,
+    partition-parallel, the standard pre-training scrub."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 15 == 0)
+    enriched = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-303-555-01"),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = "\\+?[0-9][0-9()\\-]{7,}[0-9]"
+    return enriched.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email_re, "<EMAIL>"), phone_re, "<PHONE>"
+        ).alias("redacted"),
+        F.regexp_count("text", F.lit(email_re)).cast("int").alias("n_emails"),
+    )
