@@ -1,0 +1,178 @@
+"""Seventh wave (milestone M15): data profiling (describe-style summary),
+contingency tables, null handling (the na.* surface), ANSI-safe try_*
+operations, and null-preserving outer explode."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_caic_spark.registry import register
+from etl_caic_spark.sources import load_table
+
+
+@register(
+    "profile_summary",
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           CAST(count(l_quantity) AS BIGINT) AS n,
+           round(avg(l_quantity), 4) AS mean,
+           round(stddev_samp(l_quantity), 4) AS sd,
+           round(min(l_quantity), 2) AS min_v,
+           round(max(l_quantity), 2) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           CAST(count(l_extendedprice) AS BIGINT),
+           round(avg(l_extendedprice), 4),
+           round(stddev_samp(l_extendedprice), 4),
+           round(min(l_extendedprice), 2),
+           round(max(l_extendedprice), 2)
+    FROM lineitem
+    """,
+    tags=("profile",),
+)
+def profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe()-style numeric profiling, one row per column — computed
+    as a single multi-aggregate pass then unpivoted (describe itself
+    returns strings; this keeps typed values for the oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def prof(col):
+        return li.agg(
+            F.lit(col).alias("col"),
+            F.count(col).alias("n"),
+            F.round(F.avg(col), 4).alias("mean"),
+            F.round(F.stddev_samp(col), 4).alias("sd"),
+            F.round(F.min(col), 2).alias("min_v"),
+            F.round(F.max(col), 2).alias("max_v"),
+        )
+
+    return prof("l_quantity").unionByName(prof("l_extendedprice"))
+
+
+@register(
+    "stat_crosstab",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS O,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("profile",),
+)
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table (crosstab) via conditional-count pivot — also
+    exercises FILTER-style conditional aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_linestatus") == "O").alias("O"),
+        F.count_if(F.col("l_linestatus") == "F").alias("F"),
+    )
+
+
+@register(
+    "fn_null_handling",
+    oracle="""
+    WITH holes AS (
+      SELECT o_orderkey,
+             nullif(o_orderstatus, 'P') AS status_maybe,
+             CASE WHEN o_totalprice < 50000 THEN NULL ELSE o_totalprice END
+               AS price_maybe
+      FROM orders WHERE o_orderkey % 8 = 0
+    )
+    SELECT o_orderkey,
+           coalesce(status_maybe, 'MISSING') AS status_filled,
+           round(coalesce(price_maybe, -1.0), 2) AS price_filled,
+           (status_maybe IS NULL OR price_maybe IS NULL) AS had_null,
+           status_maybe IS NOT DISTINCT FROM 'F' AS nullsafe_is_f
+    FROM holes
+    """,
+    tags=("fn", "null"),
+)
+def fn_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling surface: nulls synthesized with nullif/CASE, then
+    na.fill (coalesce), null predicates, and the null-safe equality
+    operator (<=> / IS NOT DISTINCT FROM)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 8 == 0)
+    holes = o.select(
+        "o_orderkey",
+        F.nullif("o_orderstatus", F.lit("P")).alias("status_maybe"),
+        F.when(F.col("o_totalprice") < 50000, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_maybe"),
+    )
+    filled = holes.na.fill({"status_maybe": "MISSING", "price_maybe": -1.0})
+    return filled.select(
+        "o_orderkey",
+        F.col("status_maybe").alias("status_filled"),
+        F.round("price_maybe", 2).alias("price_filled"),
+    ).join(
+        holes.select(
+            "o_orderkey",
+            (F.col("status_maybe").isNull() | F.col("price_maybe").isNull()).alias(
+                "had_null"
+            ),
+            F.col("status_maybe").eqNullSafe(F.lit("F")).alias("nullsafe_is_f"),
+        ),
+        "o_orderkey",
+    )
+
+
+@register(
+    "fn_try_ops",
+    oracle="""
+    SELECT e.event_id,
+           TRY_CAST(json_extract_string(e.props, '$.k') AS INTEGER) AS k_try,
+           TRY_CAST(e.event_type AS INTEGER) AS bogus_cast,
+           e.value / nullif(CAST(e.event_id % 3 AS DOUBLE), 0.0) AS safe_div
+    FROM events e
+    WHERE e.event_id % 6 = 0
+    """,
+    tags=("fn", "ansi"),
+)
+def fn_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe operations: try_cast (malformed → NULL instead of error)
+    and try_divide (zero denominator → NULL) — the engine's lenient lane
+    next to fail-fast defaults (the reference's strict/lenient duality,
+    SURVEY.md §1.3)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 6 == 0)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_try"),
+        F.col("event_type").try_cast("int").alias("bogus_cast"),
+        F.try_divide("value", (F.col("event_id") % 3).cast("double")).alias(
+            "safe_div"
+        ),
+    )
+
+
+@register(
+    "explode_outer_nulls",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN []
+                  ELSE string_split(text, ' ')[1:3] END AS words
+      FROM documents WHERE doc_id % 35 = 0
+    )
+    SELECT doc_id, u.word
+    FROM src LEFT JOIN (
+      SELECT doc_id, unnest(words) AS word FROM src
+    ) u USING (doc_id)
+    """,
+    tags=("fn", "explode"),
+)
+def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving explode (explode_outer): rows with empty arrays
+    survive with a NULL element instead of disappearing — required when
+    the exploded side is optional (oracle: LEFT JOIN against the unnest)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 35 == 0)
+    src = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.array().cast("array<string>"))
+        .otherwise(F.slice(F.split("text", " "), 1, 3))
+        .alias("words"),
+    )
+    return src.select("doc_id", F.explode_outer("words").alias("word"))
