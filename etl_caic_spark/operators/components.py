@@ -46,10 +46,14 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        # Carry the pre-update label through the projection so convergence
+        # is a filter on the already-checkpointed result — no extra
+        # old-vs-new join (one fewer shuffle per iteration).
+        updated = (
             labels.join(neighbor_min, labels["v"] == neighbor_min["src"], "left")
             .select(
                 "v",
+                F.col("component").alias("_old"),
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
@@ -57,13 +61,9 @@ def connected_components(
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            updated.filter(F.col("_old") != F.col("component")).limit(1).count()
         )
-        labels = new_labels
+        labels = updated.select("v", "component")
         if changed == 0:
             break
     return labels.select(F.col("v").alias("member"), "component")

@@ -71,11 +71,15 @@ def ngram_jaccard_pairs(
     Scale: the join key is the shingle — frequency-skewed shingles are the
     hazard; in production drop top-percentile document-frequency shingles
     (stop-shingles) before the join. Buckets bound the candidate space."""
+    # Materialized once: feeds the per-doc size agg AND both self-join
+    # sides (the join sides share one exchange via ReuseExchange, but the
+    # size agg shuffles on a different key and would re-run the
+    # scan+regex+explode otherwise).
     shingled = df.select(
         F.col(id_col).alias("doc"),
         *[F.col(c) for c in bucket_cols],
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
-    )
+    ).localCheckpoint()
     sizes = shingled.groupBy("doc").agg(F.count("*").alias("n_shingles"))
 
     a = shingled.alias("a")

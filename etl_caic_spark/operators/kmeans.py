@@ -88,11 +88,24 @@ def kmeans_fit(
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        assigned = assign_clusters(pts, centroids, id_col, "_v").select(
-            "cluster", F.col("_v")
+        # Fused assign: keep (_v, cluster) through the min_by aggregate
+        # instead of joining assignments back onto the corpus — one
+        # shuffle (the groupBy) per assign instead of two.
+        scored = pts.crossJoin(F.broadcast(centroids)).withColumn(
+            "_d", _sq_dist(F.col("_v"), F.col("centroid"))
         )
-        new_centroids = _mean_vectors(assigned, "_v").localCheckpoint()
-        # Empty clusters keep their previous centroid.
+        assigned = (
+            scored.groupBy(id_col)
+            .agg(
+                F.min_by(F.struct("cluster", "_v"), F.struct("_d", "cluster")).alias(
+                    "_b"
+                )
+            )
+            .select(F.col("_b.cluster").alias("cluster"), F.col("_b._v").alias("_v"))
+        )
+        new_centroids = _mean_vectors(assigned, "_v")
+        # Empty clusters keep their previous centroid. Single checkpoint
+        # per iteration (the recompute plan is folded in).
         centroids = (
             centroids.alias("old")
             .join(new_centroids.alias("new"), "cluster", "left")
