@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_caic_spark.util import widen_narrow_scan
+
 
 def word_shingles(text_col, k: int = 3):
     """Distinct word k-gram shingles of a text column, JVM-side only:
@@ -75,7 +77,7 @@ def ngram_jaccard_pairs(
     # sides (the join sides share one exchange via ReuseExchange, but the
     # size agg shuffles on a different key and would re-run the
     # scan+regex+explode otherwise).
-    shingled = df.select(
+    shingled = widen_narrow_scan(df).select(
         F.col(id_col).alias("doc"),
         *[F.col(c) for c in bucket_cols],
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
@@ -118,7 +120,7 @@ def minhash_signatures(
     """Per-document MinHash signature: one explode over distinct shingles,
     then num_hashes seeded xxhash64 minima in a single aggregate (map-side
     partial min → tiny shuffle)."""
-    shingled = df.select(
+    shingled = widen_narrow_scan(df).select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
     )
@@ -151,7 +153,9 @@ def minhash_lsh_pairs(
     no all-pairs; huge buckets (degenerate content) are the skew hazard,
     capped upstream by exact-dedup first."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    # Materialize signatures once — both sides of the band self-join would
+    # otherwise re-run the shingle explode + 32-way min aggregate.
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k).localCheckpoint()
 
     banded = sig.select(
         "doc",
@@ -205,29 +209,43 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """63-bit SimHash: explode words with term counts; per bit position sum
     +count/-count by whether xxhash64(word) has the bit set; sign vector →
-    fingerprint. 63 bits keeps the fingerprint in a positive BIGINT."""
-    words = df.select(
+    fingerprint. 63 bits keeps the fingerprint in a positive BIGINT.
+
+    Formulated as (doc, bit) rows — posexplode the per-word ±count
+    contribution vector, sum per (doc, bit), then fold the sign vector
+    back into one BIGINT — rather than one 63-aggregate groupBy. Same
+    shuffle volume (63 values per doc either way), but every expression
+    is small and generic, so it stays inside whole-stage codegen and
+    shares JIT-compiled code with the rest of the engine instead of
+    compiling a one-off kilo-line aggregate method per run."""
+    words = widen_narrow_scan(df).select(
         F.col(id_col).alias("doc"), F.explode(F.split(text_col, " ")).alias("word")
     )
     wc = words.groupBy("doc", "word").agg(F.count("*").alias("cnt"))
-    wh = wc.withColumn("wh", F.xxhash64("word"))
-    bit_sums = wh.groupBy("doc").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("wh"), i).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
-                .otherwise(-F.col("cnt"))
-            ).alias(f"b{i}")
-            for i in range(bits)
-        ]
-    )
-    fp = bit_sums.select(
+    wh = wc.select("doc", "cnt", F.xxhash64("word").alias("wh"))
+    # shiftright requires a literal offset — generate one small expr per bit.
+    contrib = wh.select(
         "doc",
-        sum(
-            (F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint") * F.lit(2**i).cast("bigint"))
-            for i in range(bits)
-        ).alias("fingerprint"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.col("wh"), i).bitwiseAND(F.lit(1)) == 1,
+                        F.col("cnt"),
+                    ).otherwise(-F.col("cnt"))
+                    for i in range(bits)
+                ]
+            )
+        ).alias("bit", "c"),
     )
-    return fp
+    bit_sums = contrib.groupBy("doc", "bit").agg(F.sum("c").alias("s"))
+    # 2^bit is exact in double up to 2^62, so pow+cast is lossless here.
+    return bit_sums.groupBy("doc").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("bigint"))
+            .otherwise(F.lit(0))
+        ).alias("fingerprint")
+    )
 
 
 def simhash_pairs(
@@ -246,7 +264,10 @@ def simhash_pairs(
     all-pairs scan. Requires max_hamming <= blocks - 1 for completeness."""
     if max_hamming > blocks - 1:
         raise ValueError("completeness requires max_hamming <= blocks - 1")
-    fp = simhash_fingerprints(df, id_col, text_col, bits)
+    # Materialize fingerprints once (one bigint per doc) — both sides of
+    # the block self-join would otherwise re-run the word-count shuffle and
+    # the 63-way bit-sum aggregate.
+    fp = simhash_fingerprints(df, id_col, text_col, bits).localCheckpoint()
     width = bits // blocks + 1
     mask = (1 << width) - 1
     blocked = fp.select(

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_caic_spark.util import widen_narrow_scan
+
 
 def _sq_dist(a, b):
     return F.aggregate(
@@ -49,7 +51,9 @@ def assign_clusters(
 ) -> DataFrame:
     """Attach the nearest centroid's cluster id (and squared distance) to
     every row. Ties break on the lower cluster id (deterministic)."""
-    pts = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    pts = widen_narrow_scan(df).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
     scored = pts.crossJoin(F.broadcast(centroids)).withColumn(
         "_d", _sq_dist(F.col("_v"), F.col("centroid"))
     )
@@ -75,7 +79,14 @@ def kmeans_fit(
 ) -> DataFrame:
     """Fit k centroids; returns DataFrame(cluster int, centroid array<double>).
     Deterministic init: the k lowest-id vectors."""
-    pts = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    # Widen + checkpoint once: every iteration's assign pass re-reads pts,
+    # and the distance evaluation must run at full parallelism, not at the
+    # (possibly single-file) scan's width.
+    pts = (
+        widen_narrow_scan(df)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+        .localCheckpoint()
+    )
     # k rows — the single-partition window for the init ids is trivial.
     centroids = (
         pts.orderBy(id_col)

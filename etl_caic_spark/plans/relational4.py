@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
+from etl_caic_spark.util import widen_narrow_scan
 
 
 @register(
@@ -71,7 +72,9 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed, the quadratic trap SCALE.md documents."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 2 == 0)
     n = p.select("p_partkey", "p_brand", "p_name", F.length("p_name").alias("_len"))
-    a, b = n.alias("a"), n.alias("b")
+    # The dim-sized build side auto-broadcasts, so the edit-distance
+    # evaluation runs at the PROBE side's scan width — widen it.
+    a, b = widen_narrow_scan(n).alias("a"), n.alias("b")
     pairs = a.join(
         b,
         (F.col("a.p_brand") == F.col("b.p_brand"))

@@ -33,6 +33,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Lower the coalesce floor: AQE's post-shuffle coalescing targets
+        # bytes, so a compute-heavy stage over a few MB of shuffle data
+        # (shingle explodes, per-bit aggregates, vector self-joins) gets
+        # merged into ONE task and serializes. 64KB keeps such stages at
+        # ~cluster parallelism; at production shuffle sizes the floor is
+        # never the binding constraint, so this is inert at 100 TB.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

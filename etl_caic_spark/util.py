@@ -5,6 +5,24 @@ from __future__ import annotations
 import os
 import tempfile
 
+from pyspark.sql import DataFrame
+
+
+def widen_narrow_scan(df: DataFrame, per_core: int = 1) -> DataFrame:
+    """Round-robin repartition an input that arrives NARROWER than the
+    cluster, ahead of a compute-inflating op (shingle explode, vector
+    self-join, per-bit aggregates).
+
+    A scan of one small file yields one partition, which serializes a 50×
+    explode onto a single core; a 100 TB scan already arrives thousands of
+    partitions wide and this is a no-op (no shuffle added). The check is
+    plan-time only — no job is triggered."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * per_core
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
 # All scratch output stays inside the repo (driver policy: nothing outside
 # /root/repo is written). Gitignored.
 REPO_TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
