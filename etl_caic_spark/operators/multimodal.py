@@ -16,6 +16,7 @@ sized by spark.sql.execution.arrow.maxRecordsPerBatch."""
 from __future__ import annotations
 
 import hashlib
+import math
 
 import pandas as pd
 
@@ -88,6 +89,87 @@ def decode_media(df: DataFrame, frame_every: int = 64) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_decode, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, width int, height int, target_w int, target_h int, "
+    "scale_x double, scale_y double, resized_checksum string"
+)
+
+
+def resize_media(df: DataFrame, target_w: int = 48, target_h: int = 32) -> DataFrame:
+    """mapInPandas 'resize': recompute dims/scale factors and the checksum
+    of the (fake-)resized payload — payload + target-dims tag stands in for
+    the real resampled pixel buffer. Swap the checksum input for the real
+    codec's output buffer when codecs exist; batch shape is identical."""
+
+    def _resize(batches):
+        tag = f"|{target_w}x{target_h}".encode()
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "width": [],
+                "height": [],
+                "target_w": [],
+                "target_h": [],
+                "scale_x": [],
+                "scale_y": [],
+                "resized_checksum": [],
+            }
+            for payload, meta in zip(pdf["payload"], pdf["media_meta"]):
+                raw = bytes(payload)
+                w, h = int(meta["width"]), int(meta["height"])
+                out["width"].append(w)
+                out["height"].append(h)
+                out["target_w"].append(target_w)
+                out["target_h"].append(target_h)
+                out["scale_x"].append(round(target_w / w, 6))
+                out["scale_y"].append(round(target_h / h, 6))
+                out["resized_checksum"].append(
+                    hashlib.sha256(raw + tag).hexdigest()[:16]
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, n_samples int, n_windows int, rms double, peak int, mean_cp double"
+)
+
+
+def audio_features(df: DataFrame, window: int = 256) -> DataFrame:
+    """mapInPandas audio-style feature extraction: treat the payload's code
+    points as PCM samples; emit sample/window counts, global RMS, peak and
+    mean. Sums are computed in exact integer arithmetic so the DuckDB
+    oracle (list_sum over ord()) reproduces the doubles bit-for-bit."""
+
+    def _features(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "n_samples": [],
+                "n_windows": [],
+                "rms": [],
+                "peak": [],
+                "mean_cp": [],
+            }
+            for payload in pdf["payload"]:
+                cps = [c for c in bytes(payload).decode("utf-8")]
+                ords = [ord(c) for c in cps]
+                n = len(ords)
+                ss = sum(o * o for o in ords)
+                s = sum(ords)
+                out["n_samples"].append(n)
+                out["n_windows"].append((n + window - 1) // window)
+                # math.sqrt (C sqrt, correctly rounded) — pow(x, 0.5) may
+                # differ in the last ulp from the oracle's sqrt().
+                out["rms"].append(round(math.sqrt(ss / n), 6) if n else 0.0)
+                out["peak"].append(max(ords) if n else 0)
+                out["mean_cp"].append(round(s / n, 6) if n else 0.0)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_features, AUDIO_SCHEMA)
 
 
 def sample_frames(decoded: DataFrame) -> DataFrame:

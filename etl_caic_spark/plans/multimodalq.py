@@ -41,14 +41,80 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode", oracle=None, tags=("multimodal",))
+@register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           substr(sha256(text), 1, 16) AS checksum,
+           CAST(octet_length(encode(text)) % 64 + 16 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 48 + 16 AS INT) AS height,
+           CAST(greatest(octet_length(encode(text)) // 64, 1) AS INT) AS n_frames,
+           CAST(greatest(octet_length(encode(text)) // 64, 1) AS BIGINT) AS n_sampled
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+    tags=("multimodal",),
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed decode + feature extraction over mapInPandas, then the
-    frame-sampling explode — rows-only for the driver (no codec in the
-    oracle); determinism pinned in tests/test_multimodal.py."""
+    frame-sampling explode. The fake codec is byte-level deterministic
+    (sha256 / octet lengths), so DuckDB CAN oracle it exactly — the real
+    codec would drop to a rows-only check; determinism is additionally
+    pinned in tests/test_multimodal.py."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     decoded = M.decode_media(M.attach_binary_payload(d))
     frames = M.sample_frames(decoded)
     return decoded.join(
         frames.groupBy("doc_id").agg(F.count("*").alias("n_sampled")), "doc_id"
     )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) % 64 + 16 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 48 + 16 AS INT) AS height,
+           CAST(48 AS INT) AS target_w,
+           CAST(32 AS INT) AS target_h,
+           round(48.0 / (octet_length(encode(text)) % 64 + 16), 6) AS scale_x,
+           round(32.0 / (octet_length(encode(text)) % 48 + 16), 6) AS scale_y,
+           substr(sha256(text || '|48x32'), 1, 16) AS resized_checksum
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+    tags=("multimodal",),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-codec resize over mapInPandas: scale factors + checksum of the
+    payload tagged with the target dims (stand-in for the resampled pixel
+    buffer — the Spark-side batch contract is the real one)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return M.resize_media(M.attach_binary_payload(d), target_w=48, target_h=32)
+
+
+@register(
+    "multimodal_audio",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''), ch -> ord(ch)) AS cps
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id,
+           CAST(len(cps) AS INT) AS n_samples,
+           CAST((len(cps) + 255) // 256 AS INT) AS n_windows,
+           round(sqrt(CAST(list_sum(list_transform(cps, x -> x * x)) AS BIGINT)
+                      * 1.0 / len(cps)), 6) AS rms,
+           CAST(list_max(cps) AS INT) AS peak,
+           round(CAST(list_sum(cps) AS BIGINT) * 1.0 / len(cps), 6) AS mean_cp
+    FROM s
+    """,
+    tags=("multimodal",),
+)
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style feature extraction (code points as PCM samples) over
+    mapInPandas; integer-exact sums make the doubles oracle-reproducible."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return M.audio_features(M.attach_binary_payload(d), window=256)

@@ -36,3 +36,39 @@ def test_frame_sampling_counts(spark, sf_dir):
     }
     expected = {r["doc_id"]: r["n_frames"] for r in decoded.collect()}
     assert per_doc == expected
+
+
+def test_resize_checksum_and_scales(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    resized = {
+        r["doc_id"]: r
+        for r in M.resize_media(M.attach_binary_payload(d), 48, 32).collect()
+    }
+    for doc_id, text in texts.items():
+        raw = text.encode("utf-8")
+        r = resized[doc_id]
+        w = len(raw) % 64 + 16
+        assert r["width"] == w
+        assert r["scale_x"] == round(48 / w, 6)
+        assert r["resized_checksum"] == (
+            __import__("hashlib").sha256(raw + b"|48x32").hexdigest()[:16]
+        )
+
+
+def test_audio_features_match_python(spark, sf_dir):
+    import math
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    feats = {
+        r["doc_id"]: r
+        for r in M.audio_features(M.attach_binary_payload(d), 256).collect()
+    }
+    for doc_id, text in texts.items():
+        ords = [ord(c) for c in text]
+        r = feats[doc_id]
+        assert r["n_samples"] == len(ords)
+        assert r["n_windows"] == (len(ords) + 255) // 256
+        assert r["rms"] == round(math.sqrt(sum(o * o for o in ords) / len(ords)), 6)
+        assert r["peak"] == max(ords)
