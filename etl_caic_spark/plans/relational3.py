@@ -273,13 +273,63 @@ def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_groups", oracle=None, tags=("dedup", "iterative"))
+@register(
+    "dedup_groups",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang, source, shingle
+      FROM (
+        SELECT doc_id, lang, source,
+               unnest([array_to_string(words[i:i+2], ' ')
+                       for i in generate_series(1, greatest(len(words)-2, 1))])
+                 AS shingle
+        FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS words
+              FROM documents)
+      )
+      GROUP BY ALL
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+                AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE common / (sa.n + sb.n - common) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    rec AS (
+      WITH RECURSIVE reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+      ) SELECT * FROM reach
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(least(min(r.d), d.doc_id), d.doc_id) AS BIGINT)
+             AS group_id,
+           coalesce(least(min(r.d), d.doc_id), d.doc_id) = d.doc_id
+             AS is_representative
+    FROM documents d LEFT JOIN rec r ON r.s = d.doc_id
+    GROUP BY d.doc_id
+    """,
+    tags=("dedup", "iterative"),
+)
 def dedup_groups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components dedup groups over exact-Jaccard near-dup pairs
     (threshold 0.5): every transitive cluster collapses to its min-id
     representative (operators/components.py — iterative min-label
-    propagation with per-iteration checkpointing). Rows-only for the
-    driver; pytest verifies against a Python union-find."""
+    propagation with per-iteration checkpointing). Oracled via a DuckDB
+    recursive-CTE transitive closure (component = min reachable id —
+    viable at oracle scale; the iterative DataFrame form is the 100 TB
+    path); pytest additionally verifies against a Python union-find."""
     d = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(
         d, "doc_id", "text", ["lang", "source"], k=3, threshold=0.5

@@ -60,16 +60,41 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("fn_urlencode", oracle=None, tags=("fn",))
+@register(
+    "fn_urlencode",
+    oracle="""
+    SELECT p_partkey,
+           p_type || ' & ' || p_brand || ' #' || p_partkey || ' 100%' AS raw,
+           list_aggregate(list_transform(
+             string_split(p_type || ' & ' || p_brand || ' #' || p_partkey
+                          || ' 100%', ''),
+             ch -> CASE WHEN regexp_matches(ch, '^[A-Za-z0-9*\\-._]$') THEN ch
+                        WHEN ch = ' ' THEN '+'
+                        ELSE '%' || printf('%02X', ord(ch)) END),
+             'string_agg', '') AS encoded
+    FROM part WHERE p_partkey % 10 = 0
+    """,
+    tags=("fn",),
+)
 def fn_urlencode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL-encode (reference R16 encodeURIComponent, task.ts:89,102).
-    DuckDB 1.0 lacks url_encode → rows-only for the driver; the pytest twin
-    checks against Python's urllib quoting."""
+    """URL-encode (reference R16 encodeURIComponent, task.ts:89,102) over a
+    punctuation-rich constructed string. DuckDB 1.0 lacks url_encode, but
+    application/x-www-form-urlencoded is per-character expressible (keep
+    [A-Za-z0-9*-._], space→'+', else %XX) — verified char-for-char against
+    Spark's url_encode; the pytest twin also checks urllib quoting."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    raw = F.concat(
+        F.col("p_type"),
+        F.lit(" & "),
+        F.col("p_brand"),
+        F.lit(" #"),
+        F.col("p_partkey").cast("string"),
+        F.lit(" 100%"),
+    )
     return p.select(
         "p_partkey",
-        F.col("p_type").alias("raw"),
-        F.url_encode("p_type").alias("encoded"),
+        raw.alias("raw"),
+        F.url_encode(raw).alias("encoded"),
     )
 
 
