@@ -35,17 +35,28 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_linenumber", "l_returnflag")
 
 
-@register("train_test_split", oracle=None, tags=("sampling",))
+@register(
+    "train_test_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("sampling",),
+)
 def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 80/20 split by key hash — reproducible regardless of
+    """Deterministic ~80/20 split by key hash — reproducible regardless of
     partitioning (unlike randomSplit, whose assignment depends on
     partition layout; hash-of-key is the production-grade split for
-    training corpora). Returns doc ids tagged with their split."""
+    training corpora). The hash is md5 of the stringified key, thresholded
+    on the first 4 hex chars (0xcccd/0x10000 = 80.00%), so any engine —
+    including the DuckDB oracle — reproduces the assignment exactly."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(10))
+    tag = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
     return d.select(
         "doc_id",
-        F.when(bucket < 8, "train").otherwise("test").alias("split"),
+        F.when(tag < "cccd", "train").otherwise("test").alias("split"),
     )
 
 

@@ -43,11 +43,21 @@ def test_train_test_split_properties(spark, sf_dir):
     assert 0.7 <= frac_train <= 0.9
     # repartitioning must not change assignments (hash-of-key, not RNG)
     d = load_table(spark, sf_dir, "documents").repartition(17)
-    bucket = F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(10))
+    tag = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
     again = {
         r["doc_id"]: r["split"]
         for r in d.select(
-            "doc_id", F.when(bucket < 8, "train").otherwise("test").alias("split")
+            "doc_id", F.when(tag < "cccd", "train").otherwise("test").alias("split")
         ).collect()
     }
     assert {r["doc_id"]: r["split"] for r in rows} == again
+    # and Python's hashlib reproduces the assignment (engine-portable)
+    import hashlib
+
+    for r in rows[:200]:
+        expect = (
+            "train"
+            if hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:4] < "cccd"
+            else "test"
+        )
+        assert r["split"] == expect
