@@ -8,7 +8,7 @@ codegen and scale linearly with the corpus."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Marker-word lists for the language-ID heuristic. The synthetic corpus is
@@ -139,4 +139,136 @@ def text_stats(docs: DataFrame) -> DataFrame:
         F.round(F.avg("n_chars"), 2).alias("avg_chars"),
         F.round(F.avg(toks), 4).alias("avg_tokens"),
         F.max(toks).cast("int").alias("max_tokens"),
+    )
+
+
+def tfidf(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, term, tf, df, tfidf): raw term frequency per document, document
+    frequency per term, tfidf = tf * ln(N/df) (natural log, rounded 6 —
+    integer tf/df keep the doubles engine-reproducible).
+
+    Scale: one explode + one (doc, term) aggregate + one term-partitioned
+    window for df; N arrives via a broadcast scalar aggregate (no driver
+    collect). The window shuffles on term — stop-word terms are the skew
+    hazard; production drops terms above a document-frequency cap first,
+    which also shrinks the output."""
+    from etl_caic_spark.util import widen_narrow_scan
+
+    words = widen_narrow_scan(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("term")
+    return (
+        tf.withColumn("df", F.count("*").over(w))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame, id_col: str, text_col: str, window: int = 40, stride: int = 30
+) -> DataFrame:
+    """Overlapping fixed-size token chunks (the pre-tokenization split for
+    long documents): chunk i covers tokens [1 + i*stride, ... + window).
+    The words array is staged as a real column before the explode (HOF
+    re-evaluation trap), and the chunk slice happens on the exploded start
+    offset — no Column offsets inside lambdas."""
+    from etl_caic_spark.util import widen_narrow_scan
+
+    staged = widen_narrow_scan(docs).select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("_words")
+    )
+    # Bound n - window + stride guarantees the last chunk reaches token n
+    # (a bound of n - window + 1 can strand up to stride-1 tail tokens);
+    # the final chunk truncates to the remaining tokens.
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("_words") - window + stride, F.lit(1)),
+        F.lit(stride),
+    )
+    exploded = staged.select(
+        "doc_id", "_words", F.explode(starts).alias("start")
+    ).withColumn("chunk", F.slice("_words", F.col("start"), window))
+    return exploded.select(
+        "doc_id",
+        ((F.col("start") - 1) / stride).cast("int").alias("chunk_idx"),
+        F.size("chunk").alias("chunk_tokens"),
+        F.concat_ws(" ", "chunk").alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, id_col: str, text_col: str, budget: int = 2048, shards: int = 8
+) -> DataFrame:
+    """Greedy contiguous sequence packing: documents are laid out in
+    deterministic id order and cut into fixed token-budget bins (training
+    batch packing). Packing is per shard (id mod shards) so the running
+    sum is a partitioned window, not a single global one — the 100 TB
+    version raises `shards` to the cluster's write parallelism."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(F.col(id_col), F.lit(shards)).cast("bigint").alias("shard"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("cum_before")
+    return d.select("doc_id", "shard", "n_tokens", cum).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(F.col("cum_before") / budget).cast("bigint").alias("bin"),
+        (F.col("cum_before") % budget).cast("bigint").alias("offset_in_bin"),
+    )
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str,
+    k: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Benchmark-decontamination check: (test doc, train doc) pairs sharing
+    at least `min_shared` distinct word k-gram shingles. One shingle
+    inverted index, filtered per side — the same scale shape as
+    ngram_jaccard_pairs (stop-shingle capping applies identically)."""
+    from etl_caic_spark.operators.dedup import word_shingles
+    from etl_caic_spark.util import widen_narrow_scan
+
+    shingled = (
+        widen_narrow_scan(docs)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.col(split_col).alias("split"),
+            F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+        )
+        .localCheckpoint()
+    )
+    test = shingled.filter(F.col("split") == "test").select(
+        F.col("doc").alias("test_doc"), "shingle"
+    )
+    train = shingled.filter(F.col("split") == "train").select(
+        F.col("doc").alias("train_doc"), "shingle"
+    )
+    return (
+        test.join(train, "shingle")
+        .groupBy("test_doc", "train_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

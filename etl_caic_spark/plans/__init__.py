@@ -23,3 +23,4 @@ from etl_caic_spark.plans import relational6  # noqa: F401,E402
 from etl_caic_spark.plans import sampling  # noqa: F401,E402
 from etl_caic_spark.plans import pipelineq  # noqa: F401,E402
 from etl_caic_spark.plans import relational7  # noqa: F401,E402
+from etl_caic_spark.plans import llm2  # noqa: F401,E402

@@ -1,0 +1,138 @@
+"""LLM-data-pipeline queries, part 2 (north star): TF-IDF weighting,
+document chunking, sequence packing, and train/test contamination checks
+over the `documents` table — the pre-training-corpus preparation surface
+beyond dedup/similarity (plans/llm.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_caic_spark.operators import text_analysis as T
+from etl_caic_spark.registry import register
+from etl_caic_spark.sources import load_table
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents WHERE doc_id % 5 = 0)
+      GROUP BY 1, 2
+    ), n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id % 5 = 0)
+    SELECT doc_id, term, tf,
+           CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+           round(tf * ln(n_docs * 1.0
+                         / (count(*) OVER (PARTITION BY term))), 6) AS tfidf
+    FROM tf, n
+    """,
+    tags=("text", "llm"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, term) TF-IDF (operators/text_analysis.tfidf): raw counts
+    stay integer-exact; tfidf = tf * ln(N/df) rounded 6 on both engines."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return T.tfidf(d, "doc_id", "text")
+
+
+@register(
+    "text_chunks",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words
+      FROM documents WHERE doc_id % 5 = 0
+    ), s AS (
+      SELECT doc_id, words,
+             unnest(generate_series(1, greatest(len(words) - 10, 1), 30))
+               AS start
+      FROM w
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 30 AS INT) AS chunk_idx,
+           CAST(len(words[start:start+39]) AS INT) AS chunk_tokens,
+           array_to_string(words[start:start+39], ' ') AS chunk_text
+    FROM s
+    """,
+    tags=("text", "llm"),
+)
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 40-token chunks with stride 30
+    (operators/text_analysis.chunk_documents)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return T.chunk_documents(d, "doc_id", "text", window=40, stride=30)
+
+
+@register(
+    "text_pack_sequences",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM d
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(cum_before // 2048 AS BIGINT) AS bin,
+           CAST(cum_before % 2048 AS BIGINT) AS offset_in_bin
+    FROM c
+    """,
+    tags=("text", "llm"),
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous packing of documents into 2048-token training
+    bins, computed per shard so the running sum is a partitioned window
+    (operators/text_analysis.pack_sequences)."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.pack_sequences(d, "doc_id", "text", budget=2048, shards=8)
+
+
+@register(
+    "text_contamination",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, lang, source, text,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, split, shingle
+      FROM (
+        SELECT doc_id, split,
+               unnest([array_to_string(words[i:i+2], ' ')
+                       for i in generate_series(1, greatest(len(words)-2, 1))])
+                 AS shingle
+        FROM (SELECT doc_id, split, string_split(text, ' ') AS words
+              FROM tagged)
+      )
+      GROUP BY ALL
+    )
+    SELECT a.doc_id AS test_doc, b.doc_id AS train_doc,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle
+    WHERE a.split = 'test' AND b.split = 'train'
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+    tags=("text", "llm", "dedup"),
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination check: test-split documents sharing >= 2
+    word-3-gram shingles with any train-split document, using the same
+    md5-of-key split as train_test_split
+    (operators/text_analysis.contamination_pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    tag = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    tagged = d.withColumn(
+        "split", F.when(tag < "cccd", "train").otherwise("test")
+    )
+    return T.contamination_pairs(
+        tagged, "doc_id", "text", "split", k=3, min_shared=2
+    )

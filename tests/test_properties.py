@@ -137,3 +137,33 @@ def test_keep_first_after_pairs(spark, sf_dir):
     assert kept_ids.isdisjoint(dropped)
     total = d.count()
     assert len(kept_ids) == total - len(dropped)
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    rows = SPECS["text_pack_sequences"].fn(spark, sf_dir).collect()
+    assert all(0 <= r["offset_in_bin"] < 2048 for r in rows)
+    # per shard, bins start at 0 and are non-decreasing in doc order
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r["bin"])
+    for bins in by_shard.values():
+        assert bins[0] == 0
+        assert all(b2 >= b1 for b1, b2 in zip(bins, bins[1:]))
+
+
+def test_chunks_cover_all_tokens(spark, sf_dir):
+    from etl_caic_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    lens = {r["doc_id"]: len(r["text"].split(" ")) for r in d.collect()}
+    from etl_caic_spark.operators.text_analysis import chunk_documents
+
+    chunks = chunk_documents(d, "doc_id", "text", window=40, stride=30).collect()
+    for doc_id, n in lens.items():
+        mine = sorted(
+            (r["chunk_idx"], r["chunk_tokens"]) for r in chunks if r["doc_id"] == doc_id
+        )
+        # last chunk reaches the final token; consecutive chunks overlap by 10
+        last_idx, last_tokens = mine[-1]
+        assert last_idx * 30 + last_tokens == n
+        assert all(i == idx for i, (idx, _) in enumerate(mine))
