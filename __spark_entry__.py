@@ -28,13 +28,15 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+    """Flagship query; driver checks rows>0 and a stable schema.
 
-    Runs the TPC-H-Q1-shaped aggregate (SURVEY.md §7.1) on lineitem:
-    scan → filter → project → hash-aggregate.
-    """
+    Runs the reference-faithful CAIC pipeline (SURVEY.md §2.D — decode →
+    filters → last-wins dedup → broadcast join → worst-severity ordinal →
+    styled projection → Multi* posexplode → union) on deterministic
+    fixtures, exercising 13 of the 17 reference operators end-to-end
+    (134 rows, pinned by tests/test_caic_golden.py)."""
     specs = all_specs()
-    return specs["agg_groupby_q1"].fn(spark, SF_SMOKE_DIR)
+    return specs["caic_pipeline"].fn(spark, SF_SMOKE_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

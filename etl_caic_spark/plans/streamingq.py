@@ -173,3 +173,41 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = SW.read_events_stream(spark, sf_dir)
     agg = SW.watermarked_tumbling(stream, "10 minutes")
     return SW.run_stream_to_table(spark, agg, "append")
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           strftime(CAST(e.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+           c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-static enrichment join: the event stream joins the
+    static customer dimension per micro-batch. Stateless (no watermark,
+    no state store) — the static side is planned as a broadcast hash join
+    inside every batch, so an availableNow replay equals the batch join.
+
+    Scale: THE standard streaming-enrichment shape; the dim is re-resolved
+    each batch (picks up slowly-changing dims) and broadcast, so the
+    stream side never shuffles."""
+    from pyspark.sql import functions as SF
+
+    ev = SW.read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    joined = ev.join(
+        SF.broadcast(cust), ev["user_id"] == cust["c_custkey"], "inner"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        SF.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "c_name",
+        "c_mktsegment",
+    )
+    return SW.run_stream_to_table(spark, joined, "append")
