@@ -63,6 +63,7 @@ def ngram_jaccard_pairs(
     bucket_cols: list[str],
     k: int = 3,
     threshold: float = 0.2,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs within buckets.
 
@@ -71,8 +72,13 @@ def ngram_jaccard_pairs(
     jaccard = |A∩B| / (|A| + |B| - |A∩B|).
 
     Scale: the join key is the shingle — frequency-skewed shingles are the
-    hazard; in production drop top-percentile document-frequency shingles
-    (stop-shingles) before the join. Buckets bound the candidate space."""
+    hazard. `max_shingle_df` is the production guard: shingles appearing
+    in more than that many documents (stop-shingles) are dropped from the
+    index AND the size computation, bounding any bucket's candidate count
+    at df² per shingle and redefining similarity over informative shingles
+    only. The df filter is a window over the same (bucket, shingle) key
+    the self-join shuffles on, so it rides the exchange that already
+    exists. Buckets bound the candidate space."""
     # Materialized once: feeds the per-doc size agg AND both self-join
     # sides (the join sides share one exchange via ReuseExchange, but the
     # size agg shuffles on a different key and would re-run the
@@ -82,6 +88,13 @@ def ngram_jaccard_pairs(
         *[F.col(c) for c in bucket_cols],
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
     ).localCheckpoint()
+    if max_shingle_df is not None:
+        w = Window.partitionBy(*bucket_cols, "shingle")
+        shingled = (
+            shingled.withColumn("_df", F.count("*").over(w))
+            .filter(F.col("_df") <= max_shingle_df)
+            .drop("_df")
+        )
     sizes = shingled.groupBy("doc").agg(F.count("*").alias("n_shingles"))
 
     a = shingled.alias("a")

@@ -136,3 +136,57 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.contamination_pairs(
         tagged, "doc_id", "text", "split", k=3, min_shared=2
     )
+
+
+@register(
+    "dedup_jaccard_capped",
+    oracle="""
+    WITH sh0 AS (
+      SELECT doc_id, lang, source, shingle
+      FROM (
+        SELECT doc_id, lang, source,
+               unnest([array_to_string(words[i:i+2], ' ')
+                       for i in generate_series(1, greatest(len(words)-2, 1))])
+                 AS shingle
+        FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS words
+              FROM documents)
+      )
+      GROUP BY ALL
+    ),
+    sh AS (
+      SELECT doc_id, lang, source, shingle
+      FROM (SELECT *, count(*) OVER (PARTITION BY lang, source, shingle)
+                      AS df
+            FROM sh0)
+      WHERE df <= 20
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+                AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common,
+           CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+           common / (sa.n + sb.n - common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE common / (sa.n + sb.n - common) >= 0.2
+    """,
+    tags=("dedup", "llm"),
+)
+def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngram Jaccard with the stop-shingle document-frequency cap (df <= 20)
+    — the skew guard that bounds per-shingle candidate pairs at df² in any
+    bucket (operators/dedup.ngram_jaccard_pairs(max_shingle_df=...));
+    similarity is over informative shingles only."""
+    from etl_caic_spark.operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        d, "doc_id", "text", ["lang", "source"], k=3, threshold=0.2,
+        max_shingle_df=20,
+    )

@@ -73,3 +73,25 @@ def test_salted_join_matches_direct(spark, sf_dir):
         .agg(F.count("*").alias("n"))
     )
     assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_stop_shingle_cap_bounds_hot_buckets(spark):
+    from etl_caic_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 30 docs sharing one boilerplate phrase (a hot shingle) + unique tails:
+    # uncapped, the boilerplate makes every pair a candidate; capped at
+    # df <= 5, the hot shingles drop out and no pair survives.
+    rows = [
+        (i, "x", "s", f"common header boilerplate phrase unique{i} tail{i} word{i}")
+        for i in range(30)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "source", "text"])
+    uncapped = ngram_jaccard_pairs(
+        d, "doc_id", "text", ["lang", "source"], k=3, threshold=0.2
+    ).count()
+    capped = ngram_jaccard_pairs(
+        d, "doc_id", "text", ["lang", "source"], k=3, threshold=0.2,
+        max_shingle_df=5,
+    ).count()
+    assert uncapped > 0
+    assert capped == 0
