@@ -190,3 +190,91 @@ def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", ["lang", "source"], k=3, threshold=0.2,
         max_shingle_df=20,
     )
+
+
+@register(
+    "embed_normalize",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )
+    SELECT vec_id, round(nrm, 6) AS norm,
+           list_transform(e, x -> CASE WHEN nrm > 0
+                                       THEN round(x / nrm, 6)
+                                       ELSE 0.0 END) AS unit_vec
+    FROM n
+    """,
+    tags=("similarity", "llm"),
+)
+def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-L2 normalization of the embedding column
+    (operators/embeddings.normalize_embeddings)."""
+    from etl_caic_spark.operators.embeddings import normalize_embeddings
+
+    return normalize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embed_quantize",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) AS maxabs
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END, 6)
+             AS scale,
+           list_transform(e, x -> CAST(round(
+             x * (CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END))
+             AS INT)) AS qvec
+    FROM m
+    """,
+    tags=("similarity", "llm"),
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column
+    (operators/embeddings.quantize_embeddings)."""
+    from etl_caic_spark.operators.embeddings import quantize_embeddings
+
+    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "vocab_topk",
+    oracle="""
+    SELECT term, CAST(n AS BIGINT) AS n,
+           CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank
+    FROM (
+      SELECT term, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY 1
+    )
+    ORDER BY n DESC, term
+    LIMIT 1000
+    """,
+    tags=("text", "llm"),
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1000 vocabulary by corpus frequency (tie-break on the term) —
+    the tokenizer-training first step. Global top-k plans as
+    TakeOrderedAndProject; the rank window runs on the 1000-row result,
+    not the corpus."""
+    from etl_caic_spark.util import widen_narrow_scan
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        widen_narrow_scan(d)
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    top = counts.orderBy(F.col("n").desc(), "term").limit(1000)
+    w = Window.orderBy(F.col("n").desc(), "term")
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
