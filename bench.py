@@ -1,6 +1,10 @@
 """Benchmark runner: times every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line {"metric", "value", "unit", "queries", "sf"}.
+SHORT JSON line {"metric", "value", "unit", "queries", "sf", ...} as the
+final stdout line. "queries" holds only the slowest 10 (the full ~125-query
+map made the line several KB and the round driver captures a bounded output
+tail — round 1's BENCH parsed as null); the complete per-query map is
+written to BENCH_FULL.json next to this script.
 
 Each query is forced end-to-end with the noop sink (df.write.format("noop"))
 so projection/aggregation work is not optimized away by a count()."""
@@ -81,18 +85,40 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    failed = sorted(n for n, t in timings.items() if t < 0)
+    slowest = dict(
+        sorted(
+            ((n, t) for n, t in timings.items() if t >= 0),
+            key=lambda kv: kv[1],
+            reverse=True,
+        )[:10]
+    )
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(
+            {"sf": sf, "total_sec": total, "queries": timings, "failed": failed},
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+    spark.stop()
+    # The short machine-readable line goes LAST so a bounded tail capture
+    # always contains it intact.
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
                 "sf": sf,
+                "n_queries": len(timings),
+                "n_failed": len(failed),
+                "full_timings": "BENCH_FULL.json",
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -8,9 +8,11 @@ implementation here is the union + window trick:
   2. one window per partition key set, ordered by (ts, side) — right rows
      sort before left rows at equal ts, giving inclusive `<=` semantics
      (matching DuckDB's ASOF JOIN);
-  3. last(right_col, ignorenulls=True) over rows UNBOUNDED PRECEDING..CURRENT
-     carries the most recent right values forward;
-  4. keep only left rows.
+  3. the right row's value columns travel as ONE struct, carried forward by
+     a single last(ignorenulls=True) over rows UNBOUNDED PRECEDING..CURRENT
+     — atomically, so the filled values always come from the same right row
+     (per-column fills would mix rows when a right value column is NULL);
+  4. keep only left rows and unpack the struct.
 
 Cost: ONE shuffle of |L|+|R| rows on the partition keys + a sort within
 partitions — linear, no range cross-product; this is the 100 TB path
@@ -39,21 +41,30 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join. Returns all left columns plus `right_values` columns
     (null when no right row precedes the left row)."""
+    from pyspark.sql.types import StructType
+
     on = list(on)
     right_values = list(right_values)
     ts = "__asof_ts"
+    payload = "__asof_payload"
 
-    lhs = left.withColumn(ts, F.col(left_ts)).withColumn(_SIDE, F.lit(1))
     for c in right_values:
-        if c in lhs.columns:
+        if c in left.columns:
             raise ValueError(f"right value column {c!r} collides with left")
-        lhs = lhs.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    ptype = StructType([right.schema[c] for c in right_values])
 
+    lhs = (
+        left.withColumn(ts, F.col(left_ts))
+        .withColumn(_SIDE, F.lit(1))
+        .withColumn(payload, F.lit(None).cast(ptype))
+    )
+    # The right row's values ride as one non-null struct — even when every
+    # field inside is NULL — so the window fill picks right rows atomically.
     rhs = right.select(
         *on,
         F.col(right_ts).alias(ts),
         F.lit(0).alias(_SIDE),
-        *right_values,
+        F.struct(*right_values).alias(payload),
     )
     for c in lhs.columns:
         if c not in rhs.columns:
@@ -66,7 +77,8 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned
+    filled = unioned.withColumn(payload, F.last(payload, ignorenulls=True).over(w))
+    out = filled.filter(F.col(_SIDE) == 1)
     for c in right_values:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return filled.filter(F.col(_SIDE) == 1).drop(_SIDE, ts)
+        out = out.withColumn(c, F.col(payload).getField(c))
+    return out.drop(_SIDE, ts, payload)

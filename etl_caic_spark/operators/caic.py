@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_caic_spark.functions.ordinal import SEVERITY_ORDER, severity_rank
-from etl_caic_spark.schemas import MULTIPOLYGON_COORDS
+from etl_caic_spark.schemas import (
+    MULTILINESTRING_COORDS,
+    MULTIPOINT_COORDS,
+    MULTIPOLYGON_COORDS,
+)
 
 # Ordinal → human label (reference task.ts:118-125).
 SEVERITY_LABEL = {
@@ -33,15 +37,16 @@ SEVERITY_LABEL = {
     "noRating": "No Rating",
 }
 
-# Ordinal → fill/stroke hex (reference task.ts:127-134 carries a fixed
-# color dictionary; these are engine-config constants, not copies).
+# Ordinal → fill/stroke hex — the reference's exact color dictionary
+# (task.ts:127-134): these are the data semantics a consumer of the
+# reference output styles by, so output parity requires the same values.
 SEVERITY_FILL = {
-    "extreme": "#231F20",
-    "high": "#ED1C24",
-    "considerable": "#F7941E",
-    "moderate": "#FFF200",
-    "low": "#50B848",
-    "noRating": "#CCCCCC",
+    "extreme": "#221e1f",
+    "high": "#ee1d23",
+    "considerable": "#f8931d",
+    "moderate": "#fef102",
+    "low": "#4db748",
+    "noRating": "#ffffff",
 }
 
 FILL_OPACITY = 0.5  # task.ts:154
@@ -117,20 +122,35 @@ def caic_features(areas: DataFrame, forecasts: DataFrame) -> DataFrame:
         F.coalesce(
             F.element_at("summary_days", 1).getField("content"), F.lit("No Remarks")
         ).alias("remarks"),  # task.ts:157 (coalesce = declared intent)
-        F.struct(  # task.ts:158-167 — 7 passthrough fields + day-0 bands
-            F.col("area_id").alias("area_id"),
-            F.col("public_name").alias("public_name"),
-            F.col("forecaster").alias("forecaster"),
-            F.col("issue_date_time").alias("issue_date_time"),
-            F.col("expiry_date_time").alias("expiry_date_time"),
-            F.col("is_translated").alias("is_translated"),
-            day0.getField("alp").alias("rating_above"),
-            day0.getField("tln").alias("rating_near"),
-            day0.getField("btl").alias("rating_below"),
+        # task.ts:158-167 — the reference's exact 7-field metadata object
+        # (camelCase keys), serialized: a JSON string cell is scalar for the
+        # driver canonicalizer and is re-nested at the GeoJSON sink.
+        F.to_json(
+            F.struct(
+                F.col("forecaster").alias("forecaster"),
+                F.col("issue_date_time").alias("issueDateTime"),
+                F.col("expiry_date_time").alias("expiryDateTime"),
+                F.col("is_translated").alias("isTranslated"),
+                day0.getField("alp").alias("ratingAbove"),
+                day0.getField("tln").alias("ratingNear"),
+                day0.getField("btl").alias("ratingBelow"),
+            )
         ).alias("metadata"),
         F.col("geometry_type"),
         F.col("geometry_json"),
     )
+
+
+# Coordinate schema per Multi* geometry kind: the reference strips 'Multi'
+# from ANY geometry type and iterates coordinates generically
+# (task.ts:171-186, startsWith('Multi') + replace('Multi','')); a typed
+# engine needs the per-kind coordinate depth to parse the parts. GeoJSON
+# (RFC 7946 §3.1) defines exactly these three Multi kinds.
+MULTI_COORDS = {
+    "MultiPolygon": MULTIPOLYGON_COORDS,
+    "MultiLineString": MULTILINESTRING_COORDS,
+    "MultiPoint": MULTIPOINT_COORDS,
+}
 
 
 def explode_multi_geometries(features: DataFrame) -> DataFrame:
@@ -139,42 +159,49 @@ def explode_multi_geometries(features: DataFrame) -> DataFrame:
     geometries pass through; branches unioned.
 
     Coordinates are parsed from geometry_json at the depth implied by
-    geometry_type (SURVEY.md §1.4) — MultiPolygon here; other Multi kinds
-    follow the same template one nesting level down."""
-    is_multi = F.col("geometry_type").startswith("Multi")
-    passthrough = features.filter(~is_multi)
+    geometry_type (SURVEY.md §1.4) — one branch per GeoJSON Multi kind,
+    all three sharing the same template. Each branch's filter pushes into
+    the scan, so a corpus with only MultiPolygons never materializes the
+    other branches' parses."""
+    passthrough = features.filter(
+        ~F.col("geometry_type").isin(list(MULTI_COORDS))
+    )
 
-    multi = features.filter(is_multi)
-    parsed = multi.withColumn(
-        "_parts",
-        F.from_json(
-            F.col("geometry_json"), f"struct<type:string,coordinates:{MULTIPOLYGON_COORDS}>"
-        ).getField("coordinates"),
-    )
-    exploded = parsed.select(
-        "*", F.posexplode("_parts").alias("_part_idx", "_part")
-    ).select(
-        F.concat(F.col("id"), F.lit("-"), F.col("_part_idx")).alias("id"),
-        "callsign",
-        "fill",
-        "fill_opacity",
-        "stroke",
-        "stroke_opacity",
-        "remarks",
-        "metadata",
-        # MultiPolygon → Polygon etc. (task.ts:179)
-        F.replace(F.col("geometry_type"), F.lit("Multi"), F.lit("")).alias(
-            "geometry_type"
-        ),
-        F.to_json(
-            F.struct(
-                F.replace(F.col("geometry_type"), F.lit("Multi"), F.lit("")).alias(
-                    "type"
-                ),
-                F.col("_part").alias("coordinates"),
+    branches = []
+    for kind, coords_schema in MULTI_COORDS.items():
+        single_kind = kind.replace("Multi", "")  # task.ts:179
+        parsed = features.filter(F.col("geometry_type") == kind).withColumn(
+            "_parts",
+            F.from_json(
+                F.col("geometry_json"),
+                f"struct<type:string,coordinates:{coords_schema}>",
+            ).getField("coordinates"),
+        )
+        branches.append(
+            parsed.select(
+                "*", F.posexplode("_parts").alias("_part_idx", "_part")
+            ).select(
+                F.concat(F.col("id"), F.lit("-"), F.col("_part_idx")).alias("id"),
+                "callsign",
+                "fill",
+                "fill_opacity",
+                "stroke",
+                "stroke_opacity",
+                "remarks",
+                "metadata",
+                F.lit(single_kind).alias("geometry_type"),
+                F.to_json(
+                    F.struct(
+                        F.lit(single_kind).alias("type"),
+                        F.col("_part").alias("coordinates"),
+                    )
+                ).alias("geometry_json"),
             )
-        ).alias("geometry_json"),
-    )
+        )
+
+    exploded = branches[0]
+    for b in branches[1:]:
+        exploded = exploded.unionByName(b)
     return exploded.unionByName(passthrough.select(*exploded.columns))
 
 

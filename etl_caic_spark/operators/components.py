@@ -4,14 +4,19 @@ representative), the step after minhash/jaccard in a real corpus dedup.
 
 Iterative min-label propagation as pure DataFrame joins:
   label(v) ← min(label(v), min over neighbors u of label(u))
-until fixpoint. Each iteration is one join + aggregate (shuffle on the
-vertex id); lineage is cut with localCheckpoint every iteration so the
-plan doesn't grow exponentially. Iterations needed = graph diameter
-(near-dup clusters are tiny — bounded by max_iter as a guard).
+followed by one pointer-jumping shortcut per iteration
+  label(v) ← label(label(v))
+until fixpoint. Each iteration is one join + aggregate + one shortcut
+join (shuffles on the vertex id); lineage is cut with localCheckpoint
+every iteration so the plan doesn't grow exponentially. The shortcut
+halves the remaining chain depth each pass, so iterations needed are
+O(log diameter), not O(diameter) — a 10-iteration budget covers chains
+of length ~2^10. Hitting max_iter without a fixpoint raises instead of
+silently returning partial labels.
 
-At 100 TB this is the standard large-star/small-star regime; the simple
-propagation suffices because near-dup components are shallow (chains are
-rare, cliques common)."""
+At 100 TB this is the standard large-star/small-star regime; near-dup
+components are shallow (chains are rare, cliques common), so the typical
+run converges in 2-3 iterations."""
 
 from __future__ import annotations
 
@@ -40,6 +45,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("v"))
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["v"])
@@ -49,14 +55,29 @@ def connected_components(
         # Carry the pre-update label through the projection so convergence
         # is a filter on the already-checkpointed result — no extra
         # old-vs-new join (one fewer shuffle per iteration).
+        propagated = labels.join(
+            neighbor_min, labels["v"] == neighbor_min["src"], "left"
+        ).select(
+            "v",
+            F.col("component").alias("_old"),
+            F.least(
+                F.col("component"), F.coalesce("nbr_component", F.col("component"))
+            ).alias("component"),
+        )
+        # Pointer-jumping shortcut: component ← component(component). Every
+        # label IS a vertex id, so the self-lookup resolves; the left join
+        # + coalesce keeps roots (label == self) untouched.
+        parents = propagated.select(
+            F.col("v").alias("_p_v"), F.col("component").alias("_p_comp")
+        )
         updated = (
-            labels.join(neighbor_min, labels["v"] == neighbor_min["src"], "left")
+            propagated.join(
+                parents, propagated["component"] == parents["_p_v"], "left"
+            )
             .select(
                 "v",
-                F.col("component").alias("_old"),
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
+                "_old",
+                F.coalesce("_p_comp", "component").alias("component"),
             )
             .localCheckpoint()
         )
@@ -65,7 +86,13 @@ def connected_components(
         )
         labels = updated.select("v", "component")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(component diameter > 2^max_iter?); raise max_iter"
+        )
     return labels.select(F.col("v").alias("member"), "component")
 
 

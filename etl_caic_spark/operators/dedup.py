@@ -79,15 +79,11 @@ def ngram_jaccard_pairs(
     only. The df filter is a window over the same (bucket, shingle) key
     the self-join shuffles on, so it rides the exchange that already
     exists. Buckets bound the candidate space."""
-    # Materialized once: feeds the per-doc size agg AND both self-join
-    # sides (the join sides share one exchange via ReuseExchange, but the
-    # size agg shuffles on a different key and would re-run the
-    # scan+regex+explode otherwise).
     shingled = widen_narrow_scan(df).select(
         F.col(id_col).alias("doc"),
         *[F.col(c) for c in bucket_cols],
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
-    ).localCheckpoint()
+    )
     if max_shingle_df is not None:
         w = Window.partitionBy(*bucket_cols, "shingle")
         shingled = (
@@ -95,6 +91,12 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") <= max_shingle_df)
             .drop("_df")
         )
+    # Materialized once, AFTER the df-cap so the checkpoint holds already-
+    # capped data: it feeds the per-doc size agg AND both self-join sides
+    # (the join sides share one exchange via ReuseExchange, but the size
+    # agg shuffles on a different key and would otherwise re-run the
+    # scan+explode — and, uncapped, the cap window itself three times).
+    shingled = shingled.localCheckpoint()
     sizes = shingled.groupBy("doc").agg(F.count("*").alias("n_shingles"))
 
     a = shingled.alias("a")

@@ -45,9 +45,10 @@ def quantize_embeddings(
     decimals: int = 6,
 ) -> DataFrame:
     """Symmetric int8 quantization: scale = 127 / max(|x|) per vector,
-    q_i = round(x_i * scale) — 4x smaller and SIMD-friendly; dequantize as
-    q / scale. Integer rounding of an exact double product is
-    engine-portable (both round half away from zero)."""
+    q_i = round(x_i * scale) stored as array<tinyint> — the actual 4x
+    storage reduction, SIMD-friendly; dequantize as q / scale. Integer
+    rounding of an exact double product is engine-portable (both round
+    half away from zero); |q| <= 127 always fits tinyint."""
     staged = df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -65,6 +66,6 @@ def quantize_embeddings(
         id_col,
         F.round("_scale", decimals).alias("scale"),
         F.transform(
-            "_v", lambda x: F.round(x * F.col("_scale"), 0).cast("int")
+            "_v", lambda x: F.round(x * F.col("_scale"), 0).cast("tinyint")
         ).alias("qvec"),
     )

@@ -76,17 +76,26 @@ def kmeans_fit(
     vec_col: str,
     k: int,
     max_iter: int = 8,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Fit k centroids; returns DataFrame(cluster int, centroid array<double>).
-    Deterministic init: the k lowest-id vectors."""
+    Deterministic init: the k lowest-id vectors.
+
+    `sample_mod=m` trains on the deterministic ~1/m subset with
+    xxhash64(id) % m == 0 — the production quantizer shape: Lloyd's cost
+    drops m-fold while centroid quality barely moves (coarse cells need
+    only the density shape), and the full corpus is still assigned to
+    cells afterwards by the caller. Hash-of-id sampling is partition-layout
+    independent, so results are stable across cluster sizes."""
     # Widen + checkpoint once: every iteration's assign pass re-reads pts,
     # and the distance evaluation must run at full parallelism, not at the
     # (possibly single-file) scan's width.
-    pts = (
-        widen_narrow_scan(df)
-        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
-        .localCheckpoint()
+    pts = widen_narrow_scan(df).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
+    if sample_mod is not None and sample_mod > 1:
+        pts = pts.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+    pts = pts.localCheckpoint()
     # k rows — the single-partition window for the init ids is trivial.
     centroids = (
         pts.orderBy(id_col)

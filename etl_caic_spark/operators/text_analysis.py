@@ -142,16 +142,30 @@ def text_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def tfidf(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def tfidf(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df: int | None = None,
+    max_df_ratio: tuple[int, int] | None = None,
+) -> DataFrame:
     """(doc, term, tf, df, tfidf): raw term frequency per document, document
     frequency per term, tfidf = tf * ln(N/df) (natural log, rounded 6 —
     integer tf/df keep the doubles engine-reproducible).
 
-    Scale: one explode + one (doc, term) aggregate + one term-partitioned
-    window for df; N arrives via a broadcast scalar aggregate (no driver
-    collect). The window shuffles on term — stop-word terms are the skew
-    hazard; production drops terms above a document-frequency cap first,
-    which also shrinks the output."""
+    Scale: one explode + one (doc, term) aggregate, then df as a per-term
+    GROUP BY joined back on term — not a term-partitioned window. The
+    aggregate combines map-side, so a stop term's millions of rows shrink
+    to one partial per task before the shuffle; a window would funnel them
+    all into a single partition. `max_df` drops stop terms (df > cap) from
+    the df table before the join — the standard vocabulary pruning, and it
+    shrinks both join and output. N arrives via a broadcast scalar
+    aggregate (no driver collect).
+
+    `max_df_ratio=(num, den)` is the corpus-relative form (sklearn's
+    max_df fraction): keep terms with df/N <= num/den, tested as
+    df*den <= N*num — integer cross-multiplication, so both engines and
+    every scale agree exactly (no float threshold)."""
     from etl_caic_spark.util import widen_narrow_scan
 
     words = widen_narrow_scan(docs).select(
@@ -159,10 +173,19 @@ def tfidf(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     )
     tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if max_df is not None:
+        df_tbl = df_tbl.filter(F.col("df") <= max_df)
     n_docs = docs.agg(F.count("*").alias("n_docs"))
-    w = Window.partitionBy("term")
+    if max_df_ratio is not None:
+        num, den = max_df_ratio
+        df_tbl = (
+            df_tbl.crossJoin(F.broadcast(n_docs))
+            .filter(F.col("df") * den <= F.col("n_docs") * num)
+            .select("term", "df")
+        )
     return (
-        tf.withColumn("df", F.count("*").over(w))
+        tf.join(df_tbl, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -243,23 +266,35 @@ def contamination_pairs(
     split_col: str,
     k: int = 3,
     min_shared: int = 2,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Benchmark-decontamination check: (test doc, train doc) pairs sharing
     at least `min_shared` distinct word k-gram shingles. One shingle
     inverted index, filtered per side — the same scale shape as
-    ngram_jaccard_pairs (stop-shingle capping applies identically)."""
+    ngram_jaccard_pairs.
+
+    `max_shingle_df` is the same stop-shingle guard: a boilerplate shingle
+    shared by millions of train docs makes the test×train join quadratic in
+    its document frequency; dropping shingles with df > cap (counted across
+    both splits, before the checkpoint so the materialized index is already
+    capped) bounds any shingle's contribution at df² and redefines overlap
+    over informative shingles only."""
     from etl_caic_spark.operators.dedup import word_shingles
     from etl_caic_spark.util import widen_narrow_scan
 
-    shingled = (
-        widen_narrow_scan(docs)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.col(split_col).alias("split"),
-            F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
-        )
-        .localCheckpoint()
+    shingled = widen_narrow_scan(docs).select(
+        F.col(id_col).alias("doc"),
+        F.col(split_col).alias("split"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
     )
+    if max_shingle_df is not None:
+        w = Window.partitionBy("shingle")
+        shingled = (
+            shingled.withColumn("_df", F.count("*").over(w))
+            .filter(F.col("_df") <= max_shingle_df)
+            .drop("_df")
+        )
+    shingled = shingled.localCheckpoint()
     test = shingled.filter(F.col("split") == "test").select(
         F.col("doc").alias("test_doc"), "shingle"
     )

@@ -155,11 +155,14 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 with a TRAINED k-means(8) coarse quantizer
     (operators/kmeans.py + operators/similarity.ivf_topk_trained) —
-    the production IVF shape; recall vs brute force is a pytest check."""
+    the production IVF shape; recall vs brute force is a pytest check.
+    The quantizer trains on a deterministic 1/4 hash-of-id sample
+    (training needs the density shape, not every point); assignment still
+    covers the full corpus."""
     from etl_caic_spark.operators.kmeans import kmeans_fit
 
     e = load_table(spark, sf_dir, "embeddings")
-    centroids = kmeans_fit(e, "vec_id", "embedding", k=8, max_iter=3)
+    centroids = kmeans_fit(e, "vec_id", "embedding", k=8, max_iter=3, sample_mod=4)
     queries = e.filter(F.col("vec_id") < 10)
     return S.ivf_topk_trained(queries, e, centroids, k=5, nprobe=2)
 
@@ -308,10 +311,14 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     )
     SELECT doc_id,
-           list_sort(list_distinct(
+           CAST(len(list_distinct(
              [list_min(hashes[i:i+3])
               for i in generate_series(1, greatest(len(hashes) - 3, 1))]))
-             AS fingerprints
+             AS INT) AS n_fingerprints,
+           coalesce(array_to_string(list_sort(list_distinct(
+             [list_min(hashes[i:i+3])
+              for i in generate_series(1, greatest(len(hashes) - 3, 1))])), ','),
+             '') AS fingerprints
     FROM h
     """,
     tags=("text",),
@@ -319,8 +326,15 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (char-5-gram rolling hash, window 4)
     with a portable polynomial hash — fully oracle-checkable
-    (operators/text_analysis.winnowing_fingerprints)."""
+    (operators/text_analysis.winnowing_fingerprints). The fingerprint set is
+    emitted comma-joined (sorted ints → exact string both engines) so the
+    driver canonicalizer sees scalar cells only."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
-    return T.winnowing_fingerprint_col(
-        d, "text", "fingerprints", kgram=5, window=4
-    ).select("doc_id", "fingerprints")
+    fp = T.winnowing_fingerprint_col(d, "text", "fingerprints", kgram=5, window=4)
+    return fp.select(
+        "doc_id",
+        F.size("fingerprints").alias("n_fingerprints"),
+        F.array_join(F.col("fingerprints").cast("array<string>"), ",").alias(
+            "fingerprints"
+        ),
+    )

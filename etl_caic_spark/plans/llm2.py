@@ -38,6 +38,36 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_capped",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents WHERE doc_id % 5 = 0)
+      GROUP BY 1, 2
+    ), n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id % 5 = 0),
+    dfs AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), kept AS (
+      SELECT term, df FROM dfs, n WHERE df * 5 <= n_docs * 4
+    )
+    SELECT doc_id, tf.term AS term, tf, df,
+           round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+    FROM tf JOIN kept ON tf.term = kept.term, n
+    """,
+    tags=("text", "llm"),
+)
+def text_tfidf_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with corpus-relative stop-term pruning (drop terms in more
+    than 4/5 of documents — sklearn max_df=0.8 semantics, tested as exact
+    integer cross-multiplication): stop terms never reach the join or the
+    output (operators/text_analysis.tfidf(max_df_ratio=...), closing the
+    documented term-skew gap)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return T.tfidf(d, "doc_id", "text", max_df_ratio=(4, 5))
+
+
+@register(
     "text_chunks",
     oracle="""
     WITH w AS (
@@ -102,7 +132,7 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
                   THEN 'train' ELSE 'test' END AS split
       FROM documents
-    ), sh AS (
+    ), sh0 AS (
       SELECT doc_id, split, shingle
       FROM (
         SELECT doc_id, split,
@@ -113,6 +143,10 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM tagged)
       )
       GROUP BY ALL
+    ), sh AS (
+      SELECT doc_id, split, shingle
+      FROM (SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM sh0)
+      WHERE df <= 20
     )
     SELECT a.doc_id AS test_doc, b.doc_id AS train_doc,
            CAST(count(*) AS BIGINT) AS n_shared
@@ -126,15 +160,16 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination check: test-split documents sharing >= 2
     word-3-gram shingles with any train-split document, using the same
-    md5-of-key split as train_test_split
-    (operators/text_analysis.contamination_pairs)."""
+    md5-of-key split as train_test_split, with the stop-shingle df-cap
+    (df <= 20 across both splits) that bounds the test×train join at df²
+    per shingle (operators/text_analysis.contamination_pairs)."""
     d = load_table(spark, sf_dir, "documents")
     tag = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
     tagged = d.withColumn(
         "split", F.when(tag < "cccd", "train").otherwise("test")
     )
     return T.contamination_pairs(
-        tagged, "doc_id", "text", "split", k=3, min_shared=2
+        tagged, "doc_id", "text", "split", k=3, min_shared=2, max_shingle_df=20
     )
 
 
@@ -202,19 +237,34 @@ def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id, round(nrm, 6) AS norm,
-           list_transform(e, x -> CASE WHEN nrm > 0
-                                       THEN round(x / nrm, 6)
-                                       ELSE 0.0 END) AS unit_vec
+           coalesce(array_to_string(
+             list_transform(e, x -> CAST(round(
+               (CASE WHEN nrm > 0 THEN round(x / nrm, 6) ELSE 0.0 END) * 1e6)
+               AS BIGINT)), ','), '') AS unit_vec_micro
     FROM n
     """,
     tags=("similarity", "llm"),
 )
 def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-L2 normalization of the embedding column
-    (operators/embeddings.normalize_embeddings)."""
+    (operators/embeddings.normalize_embeddings). The unit vector is emitted
+    as comma-joined micro-units (component*1e6 rounded to BIGINT): integers
+    stringify identically on both engines, where raw double→string repr
+    would not, and the driver canonicalizer needs scalar cells."""
     from etl_caic_spark.operators.embeddings import normalize_embeddings
 
-    return normalize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    nf = normalize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return nf.select(
+        "vec_id",
+        "norm",
+        F.array_join(
+            F.transform(
+                "unit_vec",
+                lambda x: F.round(x * 1e6, 0).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("unit_vec_micro"),
+    )
 
 
 @register(
@@ -229,19 +279,27 @@ def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            round(CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END, 6)
              AS scale,
-           list_transform(e, x -> CAST(round(
-             x * (CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END))
-             AS INT)) AS qvec
+           coalesce(array_to_string(
+             list_transform(e, x -> CAST(round(
+               x * (CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END))
+               AS TINYINT)), ','), '') AS qvec
     FROM m
     """,
     tags=("similarity", "llm"),
 )
 def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column
-    (operators/embeddings.quantize_embeddings)."""
+    (operators/embeddings.quantize_embeddings — true array<tinyint> output,
+    the 4x storage reduction). Emitted comma-joined for the driver
+    canonicalizer (tinyint→string is exact on both engines)."""
     from etl_caic_spark.operators.embeddings import quantize_embeddings
 
-    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    qf = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return qf.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("qvec").cast("array<string>"), ",").alias("qvec"),
+    )
 
 
 @register(

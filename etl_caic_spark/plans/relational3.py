@@ -103,11 +103,12 @@ def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(len(words) AS INT) AS n_uniq,
-           list_sort(list_filter(words,
-             w -> list_contains(['table','row','key','scan','hash'], w)))
-             AS kept_keywords,
-           list_sort(list_filter(words,
-             w -> NOT list_contains(['a','the','of'], w))) AS without_stop,
+           coalesce(array_to_string(list_sort(list_filter(words,
+             w -> list_contains(['table','row','key','scan','hash'], w))), ',')
+             , '') AS kept_keywords,
+           coalesce(array_to_string(list_sort(list_filter(words,
+             w -> NOT list_contains(['a','the','of'], w))), ','), '')
+             AS without_stop,
            CAST(len(list_filter(upper_words,
              w -> list_contains(['TABLE','ROW'], w))) AS INT) AS n_upper_hits
     FROM w
@@ -117,7 +118,9 @@ def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set operations via higher-order functions (portable semantics:
     array_intersect/except have engine-specific ordering, so the oracle-safe
-    formulation is filter+contains+sort — same plan shape, deterministic)."""
+    formulation is filter+contains+sort — same plan shape, deterministic).
+    Array results are emitted comma-joined (driver canonicalizer needs
+    scalar cells; DuckDB's array_to_string is NULL on empty → coalesce)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 40 == 0)
     words = F.array_distinct(F.split("text", " "))
     upper_words = F.array_distinct(F.split(F.upper("text"), " "))
@@ -127,12 +130,12 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(words).alias("n_uniq"),
-        F.array_sort(F.filter(words, lambda w: F.array_contains(keywords, w))).alias(
-            "kept_keywords"
-        ),
-        F.array_sort(F.filter(words, lambda w: ~F.array_contains(stop, w))).alias(
-            "without_stop"
-        ),
+        F.array_join(
+            F.array_sort(F.filter(words, lambda w: F.array_contains(keywords, w))), ","
+        ).alias("kept_keywords"),
+        F.array_join(
+            F.array_sort(F.filter(words, lambda w: ~F.array_contains(stop, w))), ","
+        ).alias("without_stop"),
         F.size(F.filter(upper_words, lambda w: F.array_contains(upkeys, w))).alias(
             "n_upper_hits"
         ),

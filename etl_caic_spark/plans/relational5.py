@@ -105,9 +105,11 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(list_filter(words, x -> length(x) > 4)) > 0 AS has_long_word,
            len(list_filter(words, x -> length(x) > 0)) = len(words) AS all_nonempty,
-           CAST(list_sort(list_distinct(list_transform(words, x -> length(x))))
-                AS INTEGER[]) AS distinct_lengths,
-           CAST([x for x in generate_series(1, 3)] AS INTEGER[]) AS one_two_three,
+           coalesce(array_to_string(
+             list_sort(list_distinct(list_transform(words, x -> length(x)))),
+             ','), '') AS distinct_lengths,
+           array_to_string([x for x in generate_series(1, 3)], ',')
+             AS one_two_three,
            list_sort(list_distinct(words))[1] AS alpha_first
     FROM w
     """,
@@ -115,16 +117,22 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order functions: exists / forall / transform / sequence /
-    sorted first element — all JVM-side lambdas inside codegen."""
+    sorted first element — all JVM-side lambdas inside codegen. Array
+    results comma-joined for the driver canonicalizer (int→string exact)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 30 == 0)
     words = F.split("text", " ")
     return d.select(
         "doc_id",
         F.exists(words, lambda x: F.length(x) > 4).alias("has_long_word"),
         F.forall(words, lambda x: F.length(x) > 0).alias("all_nonempty"),
-        F.array_sort(F.array_distinct(F.transform(words, lambda x: F.length(x)))).alias(
-            "distinct_lengths"
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(F.transform(words, lambda x: F.length(x)))
+            ).cast("array<string>"),
+            ",",
+        ).alias("distinct_lengths"),
+        F.array_join(F.sequence(F.lit(1), F.lit(3)).cast("array<string>"), ",").alias(
+            "one_two_three"
         ),
-        F.sequence(F.lit(1), F.lit(3)).alias("one_two_three"),
         F.element_at(F.array_sort(F.array_distinct(words)), 1).alias("alpha_first"),
     )

@@ -204,7 +204,9 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(len(embedding) AS INT) AS dim,
       embedding[1] AS first_val,
       embedding[len(embedding)] AS last_val,
-      embedding[1:4] AS head4,
+      embedding[2] AS h2,
+      embedding[3] AS h3,
+      embedding[4] AS h4,
       list_min(embedding) AS vmin,
       list_max(embedding) AS vmax
     FROM embeddings
@@ -214,14 +216,18 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array surface: size / element_at (reference days[0], task.ts:144-146,
-    157) / slice / min / max over the embedding column."""
+    157) / min / max over the embedding column. The head-of-vector probe is
+    emitted as scalar columns (h2..h4), not an array slice: the driver's
+    canonicalizer sorts pandas cells, and list-typed cells are unhashable."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 0)
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).alias("first_val"),
         F.element_at("embedding", F.size("embedding")).alias("last_val"),
-        F.slice("embedding", 1, 4).alias("head4"),
+        F.element_at("embedding", 2).alias("h2"),
+        F.element_at("embedding", 3).alias("h3"),
+        F.element_at("embedding", 4).alias("h4"),
         F.array_min("embedding").alias("vmin"),
         F.array_max("embedding").alias("vmax"),
     )

@@ -48,6 +48,11 @@ def to_feature_collection(df: DataFrame, max_rows: int = 100_000) -> dict:
         geometry = json.loads(d.pop("geometry_json"))
         d.pop("geometry_type", None)
         fid = d.pop("id")
+        # The pipeline carries metadata as a JSON string (scalar cells for
+        # the correctness driver); the GeoJSON payload re-nests it to match
+        # the reference's properties.metadata object (task.ts:158-167).
+        if isinstance(d.get("metadata"), str):
+            d["metadata"] = json.loads(d["metadata"])
         features.append(
             {
                 "id": fid,

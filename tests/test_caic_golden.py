@@ -24,6 +24,17 @@ MPOLY = {
         [[[9.0, 9.0], [9.5, 9.0], [9.5, 9.5], [9.0, 9.0]]],
     ],
 }
+# Non-polygon Multi kinds: the reference strips 'Multi' from ANY geometry
+# type (task.ts:171-186), so these must explode with the same id-suffix
+# semantics at their own coordinate depth.
+MLINE = {
+    "type": "MultiLineString",
+    "coordinates": [
+        [[0.0, 0.0], [1.0, 1.0], [2.0, 0.5]],
+        [[5.0, 5.0], [6.0, 6.0]],
+    ],
+}
+MPOINT = {"type": "MultiPoint", "coordinates": [[1.5, 2.5], [3.5, 4.5], [5.5, 6.5]]}
 
 
 def _areas(spark):
@@ -33,6 +44,8 @@ def _areas(spark):
         ("A2", 1, "MultiPolygon", json.dumps(MPOLY), '{"name":"two"}'),
         ("A3", 2, "Polygon", json.dumps(POLY1), None),
         ("A1", 3, "Polygon", json.dumps(POLY2), None),
+        ("A4", 4, "MultiLineString", json.dumps(MLINE), None),
+        ("A5", 5, "MultiPoint", json.dumps(MPOINT), None),
     ]
     return spark.createDataFrame(rows, AREAS_SCHEMA)
 
@@ -113,6 +126,22 @@ def _forecasts(spark):
             None,
             [{"alp": "low", "tln": "low", "btl": "low"}],
         ),
+        # F8 → A4 (MultiLineString, 2 parts → F8-0, F8-1).
+        _forecast(
+            "F8",
+            "avalancheforecast",
+            "A4",
+            [{"date": "2026-02-01", "content": "lines"}],
+            [{"alp": "moderate", "tln": "low", "btl": "low"}],
+        ),
+        # F9 → A5 (MultiPoint, 3 parts → F9-0..F9-2).
+        _forecast(
+            "F9",
+            "avalancheforecast",
+            "A5",
+            [{"date": "2026-02-01", "content": "points"}],
+            [{"alp": "low", "tln": "low", "btl": "low"}],
+        ),
     ]
     return spark.createDataFrame(rows, FORECASTS_SCHEMA)
 
@@ -124,20 +153,42 @@ def result(spark):
 
 
 def test_survivor_set(result):
-    # F1 (single), F2 exploded into 2 parts, F3 (single) — nothing else.
-    assert set(result) == {"caic-A1", "caic-A2-0", "caic-A2-1", "caic-A3"}
+    # F1 (single), F2 exploded into 2 polygon parts, F3 (single), F8 into 2
+    # line parts, F9 into 3 point parts — nothing else.
+    assert set(result) == {
+        "caic-A1",
+        "caic-A2-0",
+        "caic-A2-1",
+        "caic-A3",
+        "caic-A4-0",
+        "caic-A4-1",
+        "caic-A5-0",
+        "caic-A5-1",
+        "caic-A5-2",
+    }
 
 
 def test_worst_severity_day0_only(result):
     r = result["caic-A1"]
     assert r["callsign"] == "High"  # day-1 'extreme' must be ignored
-    assert r["fill"] == "#ED1C24"
+    assert r["fill"] == "#ee1d23"  # reference-exact fill (task.ts:127-134)
     assert r["stroke"] == r["fill"]
     assert r["fill_opacity"] == 0.5 and r["stroke_opacity"] == 0.75
     assert r["remarks"] == "watch the wind slabs"
-    assert r["metadata"]["rating_above"] == "high"
-    assert r["metadata"]["rating_near"] == "moderate"
-    assert r["metadata"]["rating_below"] == "low"
+    meta = json.loads(r["metadata"])
+    # reference-exact 7-field metadata object (task.ts:158-167)
+    assert set(meta) == {
+        "forecaster",
+        "issueDateTime",
+        "expiryDateTime",
+        "isTranslated",
+        "ratingAbove",
+        "ratingNear",
+        "ratingBelow",
+    }
+    assert meta["ratingAbove"] == "high"
+    assert meta["ratingNear"] == "moderate"
+    assert meta["ratingBelow"] == "low"
 
 
 def test_last_write_wins_dedup(result):
@@ -150,8 +201,8 @@ def test_unknown_rating_defined_fallback(result):
     # SURVEY.md §2.B.2: unknown strings rank as noRating (not undefined).
     r = result["caic-A3"]
     assert r["callsign"] == "No Rating"
-    assert r["fill"] == "#CCCCCC"
-    assert r["metadata"]["rating_above"] == "unknownRating"
+    assert r["fill"] == "#ffffff"  # reference-exact noRating fill
+    assert json.loads(r["metadata"])["ratingAbove"] == "unknownRating"
 
 
 def test_multi_explode_parts(result):
@@ -164,6 +215,23 @@ def test_multi_explode_parts(result):
         assert result[pid]["callsign"] == "No Rating"
         # exploded parts share the same properties (SURVEY.md §2.B.5)
         assert result[pid]["metadata"] == result["caic-A2-0"]["metadata"]
+
+
+def test_multi_explode_non_polygon_kinds(result):
+    # MultiLineString → LineString parts at depth 3 (task.ts:171-186 strips
+    # 'Multi' from any kind; coordinate parsing must match the kind's depth).
+    for i in (0, 1):
+        r = result[f"caic-A4-{i}"]
+        assert r["geometry_type"] == "LineString"
+        g = json.loads(r["geometry_json"])
+        assert g == {"type": "LineString", "coordinates": MLINE["coordinates"][i]}
+    assert result["caic-A4-0"]["callsign"] == "Moderate"
+    # MultiPoint → Point parts at depth 2.
+    for i in (0, 1, 2):
+        r = result[f"caic-A5-{i}"]
+        assert r["geometry_type"] == "Point"
+        g = json.loads(r["geometry_json"])
+        assert g == {"type": "Point", "coordinates": MPOINT["coordinates"][i]}
 
 
 def test_fixture_generator_pipeline_shape(spark):
@@ -190,10 +258,14 @@ def test_submit_sink_shape(spark):
     out = caic_pipeline(_areas(spark), _forecasts(spark))
     sent = []
     n = submit_feature_collection(out, transport=sent.append)
-    assert n == 4
+    assert n == 9
     fc = json.loads(sent[0])
     assert fc["type"] == "FeatureCollection"
     feats = {f["id"]: f for f in fc["features"]}
     assert feats["caic-A2-0"]["geometry"]["type"] == "Polygon"
+    assert feats["caic-A4-1"]["geometry"]["type"] == "LineString"
     assert feats["caic-A1"]["properties"]["callsign"] == "High"
     assert "geometry_json" not in feats["caic-A1"]["properties"]
+    # metadata is re-nested to the reference's properties.metadata object.
+    meta = feats["caic-A1"]["properties"]["metadata"]
+    assert isinstance(meta, dict) and meta["ratingAbove"] == "high"

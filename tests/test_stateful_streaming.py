@@ -65,12 +65,12 @@ def test_caic_pipeline_streaming_matches_batch(spark):
     streamed_features = {}
     for p in payloads:
         for f in json.loads(p)["features"]:
-            streamed_features[(f["id"], f["properties"]["metadata"]["area_id"],
+            streamed_features[(f["id"], f["properties"]["metadata"]["issueDateTime"],
                               f["properties"]["remarks"])] = f["geometry"]
 
     batch = caic_pipeline(areas, spark.read.parquet(fdir)).collect()
     batch_features = {
-        (r["id"], r["metadata"]["area_id"], r["remarks"]): json.loads(
+        (r["id"], json.loads(r["metadata"])["issueDateTime"], r["remarks"]): json.loads(
             r["geometry_json"]
         )
         for r in batch

@@ -105,9 +105,23 @@ def main():
             print(f"FAIL  {name}: spark error: {exc}")
             bad += 1
             continue
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        nonscalar = [
+            f.name
+            for f in sdf.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
         if name not in oracles:
-            print(f"ROWS  {name}: {len(srows)} rows (rows-only)")
+            note = f" [non-scalar cols: {nonscalar}]" if nonscalar else ""
+            print(f"ROWS  {name}: {len(srows)} rows (rows-only){note}")
             rows_only += 1
+            continue
+        if nonscalar:
+            # The REAL driver canonicalizes via pandas.sort_values, which
+            # throws on list/dict cells — flag before the hash can "pass".
+            print(f"FAIL  {name}: non-scalar output columns {nonscalar}")
+            bad += 1
             continue
         try:
             rel = con.sql(oracles[name])
