@@ -226,30 +226,35 @@ def simhash_fingerprints(
     +count/-count by whether xxhash64(word) has the bit set; sign vector →
     fingerprint. 63 bits keeps the fingerprint in a positive BIGINT.
 
-    Formulated as (doc, bit) rows — posexplode the per-word ±count
+    Formulated as (doc, bit) rows — posexplode the per-occurrence ±1
     contribution vector, sum per (doc, bit), then fold the sign vector
-    back into one BIGINT — rather than one 63-aggregate groupBy. Same
-    shuffle volume (63 values per doc either way), but every expression
-    is small and generic, so it stays inside whole-stage codegen and
-    shares JIT-compiled code with the rest of the engine instead of
-    compiling a one-off kilo-line aggregate method per run."""
+    back into one BIGINT — rather than one 63-aggregate groupBy. Every
+    expression is small and generic, so it stays inside whole-stage
+    codegen and shares JIT-compiled code with the rest of the engine
+    instead of compiling a one-off kilo-line aggregate method per run.
+
+    The classic per-(doc, word) term-count pre-aggregate is skipped on
+    purpose: ±1 per word OCCURRENCE sums to exactly ±count per distinct
+    word, so the fingerprint is identical and the (doc, word) shuffle —
+    a full pass over every token — disappears. The only shuffle left is
+    the map-side-combining (doc, bit) aggregate (≤ 63 partials per doc
+    per task)."""
     words = widen_narrow_scan(df).select(
         F.col(id_col).alias("doc"), F.explode(F.split(text_col, " ")).alias("word")
     )
-    wc = words.groupBy("doc", "word").agg(F.count("*").alias("cnt"))
-    wh = wc.select("doc", "cnt", F.xxhash64("word").alias("wh"))
-    # shiftright requires a literal offset — generate one small expr per bit.
+    wh = words.select("doc", F.xxhash64("word").alias("wh"))
+    # bit_get (unlike shiftright) takes a Column position, so the whole
+    # ±1 vector is ONE small transform lambda instead of `bits` unrolled
+    # expressions — keeps the generated method tiny (fast to codegen-
+    # compile AND JIT-warm; the 63-way unrolled form cost ~4s one-time).
     contrib = wh.select(
         "doc",
         F.posexplode(
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(F.col("wh"), i).bitwiseAND(F.lit(1)) == 1,
-                        F.col("cnt"),
-                    ).otherwise(-F.col("cnt"))
-                    for i in range(bits)
-                ]
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: F.when(F.bit_get(F.col("wh"), i) == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                ),
             )
         ).alias("bit", "c"),
     )

@@ -231,20 +231,39 @@ def cosine_near_dup_pairs(
     bucket_col: str = "label",
     threshold: float = 0.3,
     sim_decimals: int = 6,
+    salt: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within buckets (the
     embedding-space analogue of ngram_jaccard_pairs; bucketing bounds the
-    pair space — at scale the bucket is an LSH/IVF cell, not a label)."""
-    n = with_norm(df, vec_col).select(
+    pair space — at scale the bucket is an LSH/IVF cell, not a label).
+
+    Parallelism note: joining on the bucket alone caps the task count at
+    the number of distinct buckets — with O(10) labels the whole pair
+    computation lands on O(10) tasks no matter how many cores exist. The
+    `a` side therefore carries a hash salt (join key = (bkt, salt)) and
+    the `b` side is replicated across the `salt` values, spreading each
+    bucket's pair space over `salt` tasks. The pair predicate a.doc <
+    b.doc is unaffected (every pair still meets exactly once, at the a
+    row's salt)."""
+    from etl_caic_spark.util import widen_narrow_scan
+
+    n = with_norm(widen_narrow_scan(df), vec_col).select(
         F.col(id_col).alias("doc"),
         F.col(bucket_col).alias("bkt"),
         F.col("_vec").alias("vec"),
         F.col("_norm").alias("norm"),
     )
-    a = n.alias("a")
-    b = n.alias("b")
+    a = n.withColumn("salt", F.pmod(F.xxhash64("doc"), F.lit(salt))).alias("a")
+    b = (
+        n.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        .withColumn("salt", F.col("salt").cast("bigint"))
+        .alias("b")
+    )
     pairs = a.join(
-        b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.doc") < F.col("b.doc"))
+        b,
+        (F.col("a.bkt") == F.col("b.bkt"))
+        & (F.col("a.salt") == F.col("b.salt"))
+        & (F.col("a.doc") < F.col("b.doc")),
     ).select(
         F.col("a.doc").alias("id_a"),
         F.col("b.doc").alias("id_b"),

@@ -279,7 +279,7 @@ def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_groups",
     oracle="""
-    WITH sh AS (
+    WITH sh0 AS (
       SELECT doc_id, lang, source, shingle
       FROM (
         SELECT doc_id, lang, source,
@@ -290,6 +290,13 @@ def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM documents)
       )
       GROUP BY ALL
+    ),
+    sh AS (
+      SELECT doc_id, lang, source, shingle
+      FROM (SELECT *, count(*) OVER (PARTITION BY lang, source, shingle)
+                      AS df
+            FROM sh0)
+      WHERE df <= 20
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
     common AS (
@@ -327,14 +334,17 @@ def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_groups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components dedup groups over exact-Jaccard near-dup pairs
-    (threshold 0.5): every transitive cluster collapses to its min-id
-    representative (operators/components.py — iterative min-label
-    propagation with per-iteration checkpointing). Oracled via a DuckDB
+    (threshold 0.5, stop-shingle df-cap 20 — the same skew guard as
+    dedup_jaccard_capped, so the pair generation is 100 TB-safe): every
+    transitive cluster collapses to its min-id representative
+    (operators/components.py — iterative min-label propagation with
+    pointer-jumping and per-iteration checkpointing). Oracled via a DuckDB
     recursive-CTE transitive closure (component = min reachable id —
     viable at oracle scale; the iterative DataFrame form is the 100 TB
     path); pytest additionally verifies against a Python union-find."""
     d = load_table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(
-        d, "doc_id", "text", ["lang", "source"], k=3, threshold=0.5
+        d, "doc_id", "text", ["lang", "source"], k=3, threshold=0.5,
+        max_shingle_df=20,
     )
     return dedup_groups(d.select("doc_id"), pairs, "doc_id")
