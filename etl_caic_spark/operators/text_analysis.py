@@ -307,3 +307,79 @@ def contamination_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    frac_decimals: int = 6,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    the fraction of the document taken up by its most frequent word and
+    most frequent word-bigram, plus the distinct-word ratio. Heavily
+    repetitious documents (boilerplate, templated spam, degenerate
+    generations) score high and are filtered before pre-training.
+
+    Shape: explode → per-(doc, gram) count with map-side combine → one
+    max-aggregate per doc. Two shuffles keyed on (doc, gram) then doc;
+    no all-pairs, no windows over the corpus — linear at 100 TB.
+
+    Fractions are exact small-denominator rationals (q = n_words ≤ a few
+    hundred), so per-row rounding is engine-stable (ties only at powers
+    of two, which doubles represent exactly)."""
+    from etl_caic_spark.util import widen_narrow_scan
+
+    words = widen_narrow_scan(df).select(
+        F.col(id_col).alias("doc"), F.split(text_col, " ").alias("words")
+    )
+    wc = (
+        words.select("doc", F.explode("words").alias("w"))
+        .groupBy("doc", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = wc.groupBy("doc").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_word_n"),
+    )
+    bigrams = words.filter(F.size("words") >= 2).select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("words", i), F.element_at("words", i + 1)
+                ),
+            )
+        ).alias("g"),
+    )
+    bc = (
+        bigrams.groupBy("doc", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc")
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    return (
+        per_doc.join(bc, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            F.round(F.col("n_distinct") / F.col("n_words"), frac_decimals).alias(
+                "uniq_ratio"
+            ),
+            F.col("top_word_n").cast("bigint").alias("top_word_n"),
+            F.round(F.col("top_word_n") / F.col("n_words"), frac_decimals).alias(
+                "top_word_frac"
+            ),
+            F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast("bigint").alias(
+                "top_bigram_n"
+            ),
+            F.round(
+                F.coalesce(F.col("top_bigram_n"), F.lit(0))
+                / F.greatest(F.col("n_words") - 1, F.lit(1)),
+                frac_decimals,
+            ).alias("top_bigram_frac"),
+        )
+    )

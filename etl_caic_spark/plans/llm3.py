@@ -1,0 +1,197 @@
+"""LLM-data-pipeline queries, part 3: deterministic LSH-cosine ANN,
+repetition-based quality signals, and URL canonicalization dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_caic_spark.operators import lsh as L
+from etl_caic_spark.registry import register
+from etl_caic_spark.sources import load_table
+
+
+@register(
+    "sim_lsh_cosine",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1e6) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    bits AS (
+      SELECT vec_id, p,
+             CASE WHEN list_sum(list_transform(generate_series(0, 63), d ->
+               (CASE WHEN (1103515245 * (p*64 + d + 1) + 12345)
+                          % 2147483648 % 2048 >= 1024
+                     THEN 1 ELSE -1 END) * qv[d+1])) >= 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM q, generate_series(0, 15) AS t(p)
+    ),
+    bv AS (
+      SELECT vec_id, p // 4 AS band,
+             CAST(sum(bit * (1 << (p % 4))) AS BIGINT) AS band_val
+      FROM bits GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bv a JOIN bv b
+        ON a.band = b.band AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           round(list_inner_product(qa.e, qb.e)
+                 / (sqrt(list_inner_product(qa.e, qa.e))
+                    * sqrt(list_inner_product(qb.e, qb.e))), 6) AS cosine
+    FROM cand
+    JOIN q qa ON qa.vec_id = id_a
+    JOIN q qb ON qb.vec_id = id_b
+    WHERE round(list_inner_product(qa.e, qb.e)
+                / (sqrt(list_inner_product(qa.e, qa.e))
+                   * sqrt(list_inner_product(qb.e, qb.e))), 6) >= 0.3
+    """,
+    tags=("similarity", "llm", "ann"),
+)
+def sim_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH candidate pairs verified by exact cosine
+    (operators/lsh.py — Charikar STOC'02 sign-random-projection). The
+    whole path is integer-deterministic (LCG hyperplanes + floor-quantized
+    vectors), so unlike the xxhash-based MinHash/IVF paths the oracle
+    reproduces bucket assignment EXACTLY — a hash-matched ANN query.
+    16 planes in 4 bands of 4; candidates verified at cosine >= 0.3."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return L.lsh_cosine_pairs(
+        e, "vec_id", "embedding", threshold=0.3, planes=16, band_bits=4, dims=64
+    )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, word, count(*) AS c
+      FROM (SELECT doc_id, unnest(words) AS word FROM w)
+      GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS top_word_n
+      FROM wc GROUP BY 1
+    ),
+    bc AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n
+      FROM (
+        SELECT doc_id, g, count(*) AS c
+        FROM (
+          SELECT doc_id,
+                 unnest([array_to_string(words[i:i+1], ' ')
+                         for i in generate_series(1, len(words)-1)]) AS g
+          FROM w WHERE len(words) >= 2
+        )
+        GROUP BY 1, 2
+      )
+      GROUP BY 1
+    )
+    SELECT p.doc_id, n_words, n_distinct,
+           round(n_distinct / n_words, 6) AS uniq_ratio,
+           top_word_n,
+           round(top_word_n / n_words, 6) AS top_word_frac,
+           coalesce(top_bigram_n, 0) AS top_bigram_n,
+           round(coalesce(top_bigram_n, 0)
+                 / greatest(n_words - 1, 1), 6) AS top_bigram_frac
+    FROM per_doc p LEFT JOIN bc USING (doc_id)
+    """,
+    tags=("text", "llm", "quality"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (operators/text_analysis.
+    repetition_signals): top-word fraction, top-bigram fraction, and
+    distinct-word ratio per document — the repetition-based quality
+    filters a pre-training corpus applies alongside text_quality."""
+    from etl_caic_spark.operators import text_analysis as T
+
+    d = load_table(spark, sf_dir, "documents")
+    return T.repetition_signals(d, "doc_id", "text")
+
+
+@register(
+    "url_dedup",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://' || upper(source) || '.Example.COM:443/Docs/'
+               || CAST(doc_id % 1000 AS VARCHAR)
+               || '/?utm_source=feed&ref=' || lang
+               || '&id=' || CAST(doc_id % 200 AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+             regexp_replace(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+               '/+$', '') AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM raw
+    ),
+    canon AS (
+      SELECT doc_id,
+             scheme || '://'
+             || CASE WHEN scheme = 'https'
+                     THEN regexp_replace(hostport, ':443$', '')
+                     WHEN scheme = 'http'
+                     THEN regexp_replace(hostport, ':80$', '')
+                     ELSE hostport END
+             || path
+             || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+      FROM (
+        SELECT *, array_to_string(list_sort(list_filter(
+                 string_split(query, '&'),
+                 p -> p <> '' AND NOT starts_with(p, 'utm_')
+                      AND NOT starts_with(p, 'ref='))), '&') AS qs
+        FROM parts
+      )
+    )
+    SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS min_doc
+    FROM canon GROUP BY 1
+    """,
+    tags=("dedup", "llm", "url"),
+)
+def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (operators/urls.canonicalize_url): a
+    deterministic synthetic raw URL per document (mixed case, default
+    port, tracking params, fragment) is canonicalized and grouped — the
+    crawl-layer dedup that runs before any content hashing. Pure
+    regexp/HOF expressions, no UDF; one shuffle on the canonical key."""
+    from etl_caic_spark.operators.urls import canonicalize_url
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://"),
+            F.upper("source"),
+            F.lit(".Example.COM:443/Docs/"),
+            (F.col("doc_id") % 1000).cast("string"),
+            F.lit("/?utm_source=feed&ref="),
+            F.col("lang"),
+            F.lit("&id="),
+            (F.col("doc_id") % 200).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return (
+        raw.select("doc_id", canonicalize_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").cast("bigint").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+    )

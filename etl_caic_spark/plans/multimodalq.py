@@ -118,3 +118,34 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas; integer-exact sums make the doubles oracle-reproducible."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     return M.audio_features(M.attach_binary_payload(d), window=256)
+
+
+@register(
+    "multimodal_frames",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(generate_series(0,
+             greatest(octet_length(encode(text)) // 64, 1) - 1)) AS INT)
+             AS frame_idx,
+           CAST(unnest(generate_series(0,
+             greatest(octet_length(encode(text)) // 64, 1) - 1)) * 64 AS BIGINT)
+             AS byte_offset
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+    tags=("multimodal",),
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame explode of the decoded media rows (operators/multimodal.
+    sample_frames): one row per sampled frame index plus its byte offset
+    into the payload — the video frame-sampling fan-out a multimodal
+    training pipeline feeds to the per-frame feature extractor. The fake
+    codec's frame count is byte-deterministic, so the explode is fully
+    oracled."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    frames = M.sample_frames(M.decode_media(M.attach_binary_payload(d)))
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        (F.col("frame_idx").cast("bigint") * 64).alias("byte_offset"),
+    )

@@ -211,3 +211,29 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
     )
     return SW.run_stream_to_table(spark, joined, "append")
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming deduplication: dropDuplicatesWithinWatermark on
+    (user_id, event_type) with a 10-day watermark horizon (longer than the
+    replayed span, so the availableNow replay equals batch DISTINCT — the
+    oracle). Only the dedup keys are emitted, so the output is independent
+    of WHICH physical row won.
+
+    Scale: state is one entry per live key, expired by the watermark —
+    the streaming analogue of dedup_exact; the horizon bounds state at
+    (keys active per horizon), not (all keys ever)."""
+    from pyspark.sql import functions as SF
+
+    ev = SW.read_events_stream(spark, sf_dir).withWatermark("ts", "10 days")
+    deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return SW.run_stream_to_table(spark, deduped, "append")
