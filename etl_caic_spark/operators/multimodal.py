@@ -180,3 +180,33 @@ def sample_frames(decoded: DataFrame) -> DataFrame:
         "n_frames",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
     )
+
+
+EXPORT_MANIFEST_SCHEMA = "doc_id bigint, rel_path string, n_bytes int"
+
+
+def export_binary_files(df: DataFrame, out_dir: str) -> DataFrame:
+    """Write each row's binary payload as its own file (doc_<id>.bin) from
+    the EXECUTORS via mapInPandas — partition-parallel media export, the
+    write half of binaryFile ingestion (no driver-side loop, no collect).
+    Returns the manifest (doc_id, rel_path, n_bytes)."""
+    import os
+
+    def _write(batches):
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            out = {"doc_id": [], "rel_path": [], "n_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rel = f"doc_{doc_id}.bin"
+                with open(os.path.join(out_dir, rel), "wb") as f:
+                    f.write(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["rel_path"].append(rel)
+                out["n_bytes"].append(len(payload))
+            import pandas as pd
+
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(
+        _write, EXPORT_MANIFEST_SCHEMA
+    )

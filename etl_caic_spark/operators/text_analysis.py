@@ -383,3 +383,50 @@ def repetition_signals(
             ).alias("top_bigram_frac"),
         )
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram language-model score per document — the cheap perplexity
+    proxy for corpus quality ranking (documents of improbable words score
+    low; degenerate/boilerplate docs score predictably high).
+
+    Two aggregations: corpus term frequencies (map-side combined, then a
+    broadcast back to the term rows — the vocabulary is tiny relative to
+    the corpus) and the per-document occurrence-weighted sum.
+
+    Numeric determinism: each term's ln(cf/N) is rounded to 6 decimals
+    and integerized to micro-nats; the per-document reduction is then an
+    exact BIGINT sum (summation-order-free), divided back out once at the
+    end — the same integer-stabilization used by rollup_timeseries."""
+    from etl_caic_spark.util import widen_narrow_scan
+
+    words = widen_narrow_scan(df).select(
+        F.col(id_col).alias("doc"), F.explode(F.split(text_col, " ")).alias("w")
+    )
+    wc = words.groupBy("doc", "w").agg(F.count("*").alias("c"))
+    cf = words.groupBy("w").agg(F.count("*").alias("cf"))
+    n_total = cf.agg(F.sum("cf").alias("n")).select(F.col("n").cast("bigint"))
+    lp = cf.crossJoin(F.broadcast(n_total)).select(
+        "w",
+        F.round(F.log(F.col("cf") / F.col("n")), 6).alias("lp"),
+    ).select("w", F.round(F.col("lp") * 1e6, 0).cast("bigint").alias("lp_micro"))
+    scored = (
+        wc.join(F.broadcast(lp), "w")
+        .groupBy("doc")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.col("lp_micro")).alias("sum_micro"),
+        )
+    )
+    return scored.select(
+        F.col("doc").alias(id_col),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        (F.col("sum_micro") / 1e6).alias("logprob"),
+        F.round(F.col("sum_micro") / 1e6 / F.col("n_words"), 6).alias(
+            "avg_logprob"
+        ),
+    )

@@ -1,0 +1,104 @@
+"""Graph queries: PageRank over the event-interaction graph.
+
+The edge list is derived deterministically from the events table (user →
+previous user within the same event_type stream), so both engines build
+the identical graph; the PageRank iterations are exact integer fixed-
+point (operators/pagerank.py), so the oracle replays them as unrolled
+CTEs and hash-matches bit-for-bit — a fully-oracled ITERATIVE algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_caic_spark.operators.pagerank import SCALE, pagerank
+from etl_caic_spark.registry import register
+from etl_caic_spark.sources import load_table
+
+_ITER = 5
+_DAMP = 85
+
+_GRAPH_SQL = """
+    ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events
+    ),
+    seq AS (
+      SELECT lag(user_id) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS src,
+             user_id AS dst
+      FROM ev
+    ),
+    edges AS (
+      SELECT DISTINCT src, dst FROM seq
+      WHERE src IS NOT NULL AND src <> dst
+    ),
+    nodes AS (
+      SELECT DISTINCT v FROM (
+        SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges
+      )
+    ),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+    ew AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+    r0 AS (SELECT v, CAST({scale} // n AS BIGINT) AS r FROM nodes, nn)
+"""
+
+
+def _pagerank_oracle() -> str:
+    """Unroll the fixed iteration count as CTE layers r1..rN — exact
+    integer replay of operators/pagerank.pagerank."""
+    parts = ["WITH" + _GRAPH_SQL.format(scale=SCALE)]
+    prev = "r0"
+    for i in range(1, _ITER + 1):
+        parts.append(f"""
+    s{i} AS (
+      SELECT ew.dst, CAST(sum(r // deg) AS BIGINT) AS s
+      FROM {prev} JOIN ew ON {prev}.v = ew.src
+      GROUP BY 1
+    ),
+    r{i} AS (
+      SELECT nodes.v,
+             CAST(({100 - _DAMP} * {SCALE}) // (100 * n)
+                  + ({_DAMP} * coalesce(s, 0)) // 100 AS BIGINT) AS r
+      FROM nodes CROSS JOIN nn LEFT JOIN s{i} ON nodes.v = s{i}.dst
+    )""")
+        prev = f"r{i}"
+    body = ",".join(parts).replace("WITH,", "WITH")
+    return (
+        body
+        + f"""
+    SELECT v AS user_id, r AS rank_fp, round(r / 1e12, 9) AS rank
+    FROM r{_ITER}
+    """
+    )
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "iterative"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 iterations, d=0.85) over the deterministic event
+    interaction graph: edge = previous actor → current actor within each
+    event_type stream. Integer fixed-point iterations make the iterative
+    algorithm hash-matchable — the oracle unrolls the same 5 rounds as
+    CTEs. rank = rank_fp / 1e12 (exact: one double division of a
+    <2^53 integer)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("user_id").over(w).alias("src"), F.col("user_id").alias("dst")
+    )
+    edges = (
+        seq.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    ranks = pagerank(edges, "src", "dst", iterations=_ITER, damping_pct=_DAMP)
+    return ranks.select(
+        F.col("v").alias("user_id"),
+        F.col("rank_fp"),
+        F.round(F.col("rank_fp") / 1e12, 9).alias("rank"),
+    )

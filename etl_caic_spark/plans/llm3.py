@@ -195,3 +195,40 @@ def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("canonical_url")
         .agg(F.count("*").cast("bigint").alias("n_docs"), F.min("doc_id").alias("min_doc"))
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+    cf AS (SELECT w, count(*) AS cf FROM words GROUP BY 1),
+    n AS (SELECT CAST(sum(cf) AS BIGINT) AS n FROM cf),
+    lp AS (
+      SELECT w, CAST(round(round(ln(cf / n), 6) * 1e6) AS BIGINT) AS lp_micro
+      FROM cf, n
+    ),
+    scored AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(sum(c * lp_micro) AS BIGINT) AS sum_micro
+      FROM wc JOIN lp USING (w)
+      GROUP BY 1
+    )
+    SELECT doc_id, n_words,
+           sum_micro / 1e6 AS logprob,
+           round(sum_micro / 1e6 / n_words, 6) AS avg_logprob
+    FROM scored
+    """,
+    tags=("text", "llm", "quality"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram log-probability per document (operators/text_analysis.
+    unigram_logprob) — the perplexity-proxy quality signal. Per-term
+    ln(cf/N) is integerized to micro-nats so the per-doc reduction is an
+    exact BIGINT sum on both engines (summation-order-free)."""
+    from etl_caic_spark.operators import text_analysis as T
+
+    d = load_table(spark, sf_dir, "documents")
+    return T.unigram_logprob(d, "doc_id", "text")

@@ -149,3 +149,39 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("int").alias("frame_idx"),
         (F.col("frame_idx").cast("bigint") * 64).alias("byte_offset"),
     )
+
+
+@register(
+    "scan_binary_files",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           substr(sha256(text), 1, 16) AS checksum
+    FROM documents
+    WHERE doc_id % 41 = 0
+    """,
+    tags=("multimodal", "source"),
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile SOURCE roundtrip: payloads are exported as one file per
+    document from the executors (operators/multimodal.export_binary_files),
+    then ingested with spark.read.format('binaryFile') — the real media
+    ingestion path (content + length come from the file source, the id is
+    parsed from the filename). Oracle recomputes length/checksum from the
+    originating text."""
+    import shutil
+
+    from etl_caic_spark.util import scratch_path
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 41 == 0)
+    out_dir = scratch_path("etl_caic_binary_export")
+    shutil.rmtree(out_dir, ignore_errors=True)  # stale exports from other SFs
+    M.export_binary_files(M.attach_binary_payload(d), out_dir).count()  # materialize export
+    files = spark.read.format("binaryFile").load(out_dir)
+    return files.select(
+        F.regexp_extract(F.col("path"), "doc_(\\d+)\\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.substring(F.sha2(F.col("content"), 256), 1, 16).alias("checksum"),
+    )
