@@ -48,22 +48,24 @@ def pagerank(
     base = (100 - damping_pct) * SCALE // (100 * n_nodes)
     r0 = SCALE // n_nodes
     ranks = nodes.withColumn("r", F.lit(r0).cast("bigint"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             ranks.join(ew, ranks["v"] == ew["src"])
             .select("dst", F.expr("r DIV deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(contrib, nodes["v"] == contrib["dst"], "left")
-            .select(
-                "v",
-                (
-                    F.lit(base).cast("bigint")
-                    + F.expr(f"({damping_pct} * coalesce(s, 0)) DIV 100")
-                ).alias("r"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(contrib, nodes["v"] == contrib["dst"], "left").select(
+            "v",
+            (
+                F.lit(base).cast("bigint")
+                + F.expr(f"({damping_pct} * coalesce(s, 0)) DIV 100")
+            ).alias("r"),
         )
+        # Cut lineage every few rounds, not every round: localCheckpoint is
+        # EAGER (one job per call), and a handful of stacked join stages
+        # execute fine as one deep plan. For to-convergence runs (tens of
+        # iterations) the cadence keeps planning cost bounded.
+        if (it + 1) % 4 == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint()
     return ranks.select("v", F.col("r").alias("rank_fp"))

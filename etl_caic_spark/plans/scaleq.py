@@ -1,0 +1,83 @@
+"""Scale-pattern queries: the skew-salting and bucketed-join operators
+(operators/skew.py, operators/bucketing.py) exposed as driver-checkable
+queries — the RESULT is oracled against the plain formulation (salting /
+bucketing must be invisible in the output), and the plan-shape properties
+(spread partials, zero Exchange) stay pytest-asserted in
+tests/test_scale_patterns.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_caic_spark.operators.bucketing import bucketed_join, write_bucketed
+from etl_caic_spark.operators.skew import salted_groupby_sum
+from etl_caic_spark.registry import register
+from etl_caic_spark.sources import load_table
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_l_quantity,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "skew", "scale"),
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the MOST skewed key pair in the
+    dataset (a handful of (returnflag, linestatus) values for the whole
+    fact table): phase 1 spreads each hot key over 16 salted reducers,
+    phase 2 merges partials. The oracle is the PLAIN group-by — salting
+    must not change results. l_quantity is integer-valued, so the
+    two-phase double sum is exact (no summation-order hazard)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_groupby_sum(li, ["l_returnflag", "l_linestatus"], "l_quantity")
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("sum_l_quantity", 2).alias("sum_l_quantity"),
+        F.col("n_rows").cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "join_bucketed",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(o.o_totalprice) AS DOUBLE), 2) AS total
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("join", "bucket", "scale"),
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-bucket co-located join: both sides written bucketed by the
+    join key (8 buckets) then joined — Spark plans a SortMergeJoin whose
+    children read pre-bucketed files with ZERO Exchange (the property
+    tests/test_scale_patterns.py asserts on this exact pattern). The
+    oracle is the plain join+aggregate: bucketing must be invisible in
+    the result. At 100 TB this is THE fact⋈fact pattern: pay the shuffle
+    once at write time, never per query."""
+    import shutil
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for tbl in ("bq_customer", "bq_orders"):
+        # A location left behind by a previous session isn't in this
+        # session's catalog, so overwrite alone can't reclaim it.
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(
+            warehouse.removeprefix("file:") + "/" + tbl, ignore_errors=True
+        )
+    write_bucketed(cust, "bq_customer", "c_custkey", 8)
+    write_bucketed(orders, "bq_orders", "o_custkey", 8)
+    joined = bucketed_join(spark, "bq_customer", "bq_orders", "c_custkey", "o_custkey")
+    return joined.groupBy("c_custkey", "c_name").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

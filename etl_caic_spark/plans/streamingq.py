@@ -237,3 +237,58 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type"
     )
     return SW.run_stream_to_table(spark, deduped, "append")
+
+
+@register(
+    "stream_foreach_batch",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+           value
+    FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("streaming", "sink"),
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL foreachBatch sink: the event stream is replayed (availableNow)
+    and every micro-batch is appended to a parquet sink by the foreachBatch
+    callback — the escape hatch for sinks Structured Streaming doesn't
+    support natively (JDBC upserts, REST submits; the streamed CAIC
+    pipeline uses the same hook). The roundtrip read-back must equal the
+    batch filter — the oracle.
+
+    Scale: foreachBatch runs the callback on the DRIVER but the write it
+    issues is a normal distributed job; exactly-once comes from the
+    checkpoint + idempotent (overwrite-by-batch or transactional) sinks."""
+    import shutil
+
+    from pyspark.sql import functions as SF
+
+    from etl_caic_spark.util import scratch_path
+
+    sink_dir = scratch_path("etl_caic_fb_sink")
+    ckpt_dir = scratch_path("etl_caic_fb_ckpt")
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    ev = (
+        SW.read_events_stream(spark, sf_dir)
+        .filter(SF.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            SF.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "value",
+        )
+    )
+
+    def _sink(batch_df, epoch_id):
+        batch_df.write.mode("append").parquet(sink_dir)
+
+    q = (
+        ev.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink_dir)
