@@ -314,6 +314,7 @@ def repetition_signals(
     id_col: str = "doc_id",
     text_col: str = "text",
     frac_decimals: int = 6,
+    include_bigrams: bool = True,
 ) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
     the fraction of the document taken up by its most frequent word and
@@ -343,6 +344,23 @@ def repetition_signals(
         F.count("*").alias("n_distinct"),
         F.max("c").alias("top_word_n"),
     )
+    word_cols = [
+        F.col("doc").alias(id_col),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.round(F.col("n_distinct") / F.col("n_words"), frac_decimals).alias(
+            "uniq_ratio"
+        ),
+        F.col("top_word_n").cast("bigint").alias("top_word_n"),
+        F.round(F.col("top_word_n") / F.col("n_words"), frac_decimals).alias(
+            "top_word_frac"
+        ),
+    ]
+    if not include_bigrams:
+        # Callers gating on word-level repetition only (e.g. the curation
+        # pipeline) skip the bigram explode — it's the expensive half
+        # (second gram-keyed shuffle over every adjacent pair).
+        return per_doc.select(*word_cols)
     bigrams = words.filter(F.size("words") >= 2).select(
         "doc",
         F.explode(
@@ -363,16 +381,7 @@ def repetition_signals(
     return (
         per_doc.join(bc, "doc", "left")
         .select(
-            F.col("doc").alias(id_col),
-            F.col("n_words").cast("bigint").alias("n_words"),
-            F.col("n_distinct").cast("bigint").alias("n_distinct"),
-            F.round(F.col("n_distinct") / F.col("n_words"), frac_decimals).alias(
-                "uniq_ratio"
-            ),
-            F.col("top_word_n").cast("bigint").alias("top_word_n"),
-            F.round(F.col("top_word_n") / F.col("n_words"), frac_decimals).alias(
-                "top_word_frac"
-            ),
+            *word_cols,
             F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast("bigint").alias(
                 "top_bigram_n"
             ),

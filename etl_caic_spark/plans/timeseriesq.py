@@ -68,3 +68,85 @@ def rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("max_value") / 100.0).alias("max_value"),
         F.round(F.col("sum_value") / 100.0 / F.col("n"), 6).alias("avg_value"),
     )
+
+
+@register(
+    "funnel_stages",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+       AND CAST(e.ts AS TIMESTAMP) > v.t1
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+       AND CAST(e.ts AS TIMESTAMP) > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage,
+           strftime(t1, '%Y-%m-%d %H:%M:%S') AS first_view,
+           strftime(t2, '%Y-%m-%d %H:%M:%S') AS first_click_after,
+           strftime(t3, '%Y-%m-%d %H:%M:%S') AS first_purchase_after
+    FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+           LEFT JOIN p USING (user_id)
+    """,
+    tags=("timeseries", "funnel", "join"),
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel (view → click → purchase) per user:
+    each stage's timestamp is the first qualifying event strictly after
+    the previous stage's — the order-dependent semantics that a naive
+    per-type min cannot express. Three user-keyed aggregate+join rounds;
+    every shuffle is on user_id, so AQE reuses one exchange layout."""
+    from pyspark.sql import functions as SF
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    u = ev.select("user_id").distinct()
+    v = (
+        ev.filter(SF.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(SF.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(SF.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(SF.col("ts") > SF.col("t1"))
+        .groupBy("user_id")
+        .agg(SF.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(SF.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(SF.col("ts") > SF.col("t2"))
+        .groupBy("user_id")
+        .agg(SF.min("ts").alias("t3"))
+    )
+    return (
+        u.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            SF.when(SF.col("t3").isNotNull(), 3)
+            .when(SF.col("t2").isNotNull(), 2)
+            .when(SF.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("stage"),
+            SF.date_format("t1", "yyyy-MM-dd HH:mm:ss").alias("first_view"),
+            SF.date_format("t2", "yyyy-MM-dd HH:mm:ss").alias("first_click_after"),
+            SF.date_format("t3", "yyyy-MM-dd HH:mm:ss").alias(
+                "first_purchase_after"
+            ),
+        )
+    )
