@@ -240,3 +240,43 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "fn_regexp",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]{6,})', 1) AS first_long_word,
+           CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS INT)
+             AS n_long_words,
+           coalesce(array_to_string(regexp_extract_all(text,
+             '[a-z]{6,}'), '|'), '') AS long_words,
+           regexp_replace(substr(text, 1, 40), '[aeiou]', '_', 'g')
+             AS devoweled,
+           (text SIMILAR TO '.*window.*') AS mentions_window
+    FROM documents
+    WHERE doc_id % 13 = 0
+    """,
+    tags=("scalar", "regexp"),
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp function family over order comments: first-match extract,
+    extract-all (stringified — the driver canonicalizer takes scalars
+    only), global replace, and a regexp predicate. All codegen'd JVM
+    regexps — the workhorses of log/text wrangling."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "([a-z]{6,})", 1).alias("first_long_word"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{6,}"), 0))
+        .cast("int")
+        .alias("n_long_words"),
+        F.coalesce(
+            F.array_join(F.regexp_extract_all("text", F.lit("[a-z]{6,}"), 0), "|"),
+            F.lit(""),
+        ).alias("long_words"),
+        F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "_").alias(
+            "devoweled"
+        ),
+        F.col("text").rlike(".*window.*").alias("mentions_window"),
+    )

@@ -292,3 +292,34 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(sink_dir)
+
+
+@register(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY 1
+    """,
+    tags=("streaming", "stateful", "udf"),
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL custom stateful operator: applyInPandasWithState running
+    per-user (count, sum) totals (streaming/stateful.py), replayed with
+    availableNow. Each key emits its cumulative total once per batch it
+    appears in; the FINAL state (row with the max running count per key)
+    must equal the batch group-by — the oracle. value is 2-decimal, so
+    round(total, 2) recovers the exact sum on both engines.
+
+    Scale: state is two numbers per key, partitioned by the grouping
+    key — O(distinct keys), independent of stream length."""
+    from pyspark.sql import functions as SF
+
+    from etl_caic_spark.streaming.stateful import running_user_totals
+
+    ev = SW.read_events_stream(spark, sf_dir).select("user_id", "value")
+    out = SW.run_stream_to_table(spark, running_user_totals(ev), "update")
+    return out.groupBy("user_id").agg(
+        SF.max("n").cast("bigint").alias("n"),
+        SF.round(SF.max_by("total", "n"), 2).alias("total"),
+    )
