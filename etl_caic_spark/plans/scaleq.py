@@ -81,3 +81,43 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "compact_small_files",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_orderkey % 11 = 0
+    """,
+    tags=("sink", "maintenance", "scale"),
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every lake runs:
+    a slice is first written fragmented (64 shuffle partitions → 64 tiny
+    files, the pathological streaming-ingest layout), then compacted with
+    a coalesce(4) rewrite and read back. The oracle is the source slice:
+    compaction must be a pure layout change. coalesce (not repartition)
+    avoids a shuffle on the rewrite — each output file concatenates
+    existing partitions; at 100 TB this runs per-partition-directory with
+    target file size ~ the FS block size."""
+    import os
+    import shutil
+
+    from etl_caic_spark.util import scratch_path
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 11 == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+    frag_dir = scratch_path("etl_caic_fragmented")
+    compact_dir = scratch_path("etl_caic_compacted")
+    shutil.rmtree(frag_dir, ignore_errors=True)
+    shutil.rmtree(compact_dir, ignore_errors=True)
+    li.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    frag = spark.read.parquet(frag_dir)
+    n_frag = len([f for f in os.listdir(frag_dir) if f.endswith(".parquet")])
+    frag.coalesce(4).write.mode("overwrite").parquet(compact_dir)
+    n_comp = len([f for f in os.listdir(compact_dir) if f.endswith(".parquet")])
+    assert n_comp < n_frag, (n_comp, n_frag)  # compaction must reduce file count
+    return spark.read.parquet(compact_dir)

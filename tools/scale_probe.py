@@ -18,6 +18,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from etl_caic_spark.operators.asof import asof_join  # noqa: E402
 from etl_caic_spark.operators.dedup import minhash_lsh_pairs  # noqa: E402
+from etl_caic_spark.operators.lsh import lsh_cosine_pairs  # noqa: E402
+from etl_caic_spark.operators.pagerank import pagerank  # noqa: E402
+from etl_caic_spark.operators.text_analysis import repetition_signals  # noqa: E402
+from etl_caic_spark.operators.timeseries import rollup_hierarchy  # noqa: E402
 from etl_caic_spark.session import get_spark  # noqa: E402
 from etl_caic_spark.sources import load_table  # noqa: E402
 from etl_caic_spark.streaming.windows import sliding_agg  # noqa: E402
@@ -74,6 +78,35 @@ def main():
         ev = replicate(spark, "events", factor, "event_id", 10_000_000)
         docs = replicate(spark, "documents", factor, "doc_id", 10_000_000)
         li = replicate(spark, "lineitem", factor, "l_orderkey", 100_000_000)
+        # Embeddings replicate with a cyclic coordinate shift per replica:
+        # a permuted vector projects onto different hyperplanes, so LSH
+        # bucket occupancy grows linearly (identical replicas would all
+        # collide and measure the hot-bucket pathology instead).
+        emb = load_table(spark, SF_DIR, "embeddings")
+        if factor > 1:
+            emb = (
+                emb.withColumn(
+                    "_rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+                )
+                .withColumn(
+                    "vec_id",
+                    F.col("vec_id") + F.col("_rep").cast("bigint") * 10_000_000,
+                )
+                .withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice(
+                            "embedding", F.pmod(F.col("_rep"), F.lit(64)) + 1,
+                            F.lit(64),
+                        ),
+                        F.slice(
+                            "embedding", F.lit(1), F.pmod(F.col("_rep"), F.lit(64))
+                        ),
+                    ),
+                )
+                .drop("_rep")
+                .localCheckpoint()
+            )
 
         def noop(df):
             df.write.format("noop").mode("overwrite").save()
@@ -115,6 +148,34 @@ def main():
                 lambda: noop(
                     ev.groupBy("user_id").agg(
                         F.max_by("event_id", "value").alias("best")
+                    )
+                )
+            ),
+            "rollup_hier": timeit(
+                lambda: noop(rollup_hierarchy(ev, "ts", ("event_type",), "value"))
+            ),
+            "repetition": timeit(
+                lambda: noop(
+                    repetition_signals(docs, "doc_id", "text", include_bigrams=False)
+                )
+            ),
+            "lsh_cosine": timeit(
+                lambda: noop(
+                    lsh_cosine_pairs(emb, "vec_id", "embedding", threshold=0.3)
+                )
+            ),
+            "pagerank": timeit(
+                lambda: noop(
+                    pagerank(
+                        ev.select(
+                            F.col("user_id").alias("src"),
+                            F.pmod(F.col("event_id"), F.lit(1000) * factor).alias(
+                                "dst"
+                            ),
+                        )
+                        .filter(F.col("src") != F.col("dst"))
+                        .distinct(),
+                        iterations=3,
                     )
                 )
             ),
