@@ -22,6 +22,21 @@ deterministic end-to-end and hash-matchable.
 Scale: signatures are one narrow pass over the corpus (no shuffle);
 bucketing is a groupBy on (band, value); the verify join is an equi-join
 on bucket ids — never all-pairs. Same regime as MinHash banding.
+
+Band-width picks the random-collision budget: two UNRELATED vectors agree
+on one plane's bit with p≈0.5, so a band of r bits collides with
+probability ~0.5^r and the candidate count is ~bands * C(N,2) * 0.5^r.
+r=4 caps the whole bucket space at 16 values per band — at 60k vectors
+that is ~N^2/8 candidate pairs, measured quadratic in the scale probe
+(3.8s → 52s → 205s at 1x/10x/30x). The operator defaults are therefore
+the SCALE config — planes=64, band_bits=16 (4 bands x 65536 values,
+random-collision rate 1.5e-5) — which the same probe measures linear.
+Hyperplane LSH is a NEAR-dup detector: recall at cosine s is
+1-(1-p^r)^b with p = 1 - acos(s)/pi, so 16-bit bands are useful at
+s >= ~0.9; for low-threshold similarity use the IVF path instead
+(operators/similarity.py). The registered `sim_lsh_cosine` query keeps
+an explicit 16/4 config as the small-SF correctness anchor — its oracle
+reproduces bucket assignment exactly — and documents that contrast.
 """
 
 from __future__ import annotations
@@ -52,8 +67,8 @@ def hyperplane_signatures(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 16,
-    band_bits: int = 4,
+    planes: int = 64,
+    band_bits: int = 16,
     dims: int = 64,
 ) -> DataFrame:
     """(id, band, band_val) bucket rows — `planes` sign bits packed into
@@ -94,9 +109,9 @@ def lsh_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    threshold: float = 0.8,
-    planes: int = 16,
-    band_bits: int = 4,
+    threshold: float = 0.9,
+    planes: int = 64,
+    band_bits: int = 16,
     dims: int = 64,
     sim_decimals: int = 6,
 ) -> DataFrame:

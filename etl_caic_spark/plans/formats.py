@@ -96,3 +96,41 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, round(c_acctbal, 2)
+    FROM customer WHERE c_custkey % 2 = 1
+    """,
+    tags=("source", "format", "schema"),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: an old writer produced files WITHOUT the
+    c_acctbal column, a newer writer added it; mergeSchema=true unifies
+    the footers and back-fills the missing column with NULLs — the
+    add-a-column migration every long-lived lake table goes through.
+    The merge happens at footer level (one extra driver-side pass over
+    file metadata); row data is never rewritten. At 100 TB prefer
+    pinning the unified schema via .schema(...) once known — mergeSchema
+    footer-listing cost grows with file count, which is why this query
+    demonstrates but does not default it."""
+    import shutil
+
+    c = load_table(spark, sf_dir, "customer")
+    out = scratch_path("etl_caic_schema_evo")
+    shutil.rmtree(out, ignore_errors=True)
+    old = c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name")
+    new = c.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    old.write.parquet(f"{out}/v=1")
+    new.write.parquet(f"{out}/v=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/v=1", f"{out}/v=2"
+    )
+    return merged.select("c_custkey", "c_name", "c_acctbal")

@@ -59,7 +59,12 @@ def sim_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole path is integer-deterministic (LCG hyperplanes + floor-quantized
     vectors), so unlike the xxhash-based MinHash/IVF paths the oracle
     reproduces bucket assignment EXACTLY — a hash-matched ANN query.
-    16 planes in 4 bands of 4; candidates verified at cosine >= 0.3."""
+    16 planes in 4 bands of 4, verified at cosine >= 0.3: the SMALL-SF
+    correctness anchor, priced for a few-hundred-vector corpus. The
+    operator DEFAULTS are the scale config (64 planes, 16-bit bands,
+    threshold 0.9) — 4-bit bands collide random pairs at 0.5^4 per band,
+    which the scale probe measured quadratic at 30x (operators/lsh.py
+    module docstring has the collision math)."""
     e = load_table(spark, sf_dir, "embeddings")
     return L.lsh_cosine_pairs(
         e, "vec_id", "embedding", threshold=0.3, planes=16, band_bits=4, dims=64
@@ -232,3 +237,107 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return T.unigram_logprob(d, "doc_id", "text")
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, n_chars,
+             'HTTPS://' || upper(source) || '.Example.COM:443/Docs/'
+               || CAST(doc_id % 1000 AS VARCHAR)
+               || '/?utm_source=feed&ref=' || lang
+               || '&id=' || CAST(doc_id % 200 AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, n_chars,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+             regexp_replace(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+               '/+$', '') AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM raw
+    ),
+    canon AS (
+      SELECT doc_id, n_chars,
+             scheme || '://'
+             || CASE WHEN scheme = 'https'
+                     THEN regexp_replace(hostport, ':443$', '')
+                     WHEN scheme = 'http'
+                     THEN regexp_replace(hostport, ':80$', '')
+                     ELSE hostport END
+             || path
+             || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+      FROM (
+        SELECT *, array_to_string(list_sort(list_filter(
+                 string_split(query, '&'),
+                 p -> p <> '' AND NOT starts_with(p, 'utm_')
+                      AND NOT starts_with(p, 'ref='))), '&') AS qs
+        FROM parts
+      )
+    ),
+    ranked AS (
+      SELECT canonical_url, doc_id, n_chars,
+             row_number() OVER (PARTITION BY canonical_url
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+               AS n_dups
+      FROM canon
+    )
+    SELECT canonical_url, doc_id AS kept_doc, n_chars AS kept_chars, n_dups
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("dedup", "llm", "curation"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: within each canonical-URL dup group
+    keep the BEST document (longest text, doc_id as the deterministic
+    tiebreak) and record the group size — the "which copy survives"
+    decision that follows every dedup pass in corpus curation. One
+    shuffle on the canonical key; the row_number + count windows share
+    the same partitioning, so they run in one window stage. At 100 TB
+    the quality key can be any scalar score (the registered text_quality
+    signals compose here) without changing the shape."""
+    from etl_caic_spark.operators.urls import canonicalize_url
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("HTTPS://"),
+            F.upper("source"),
+            F.lit(".Example.COM:443/Docs/"),
+            (F.col("doc_id") % 1000).cast("string"),
+            F.lit("/?utm_source=feed&ref="),
+            F.col("lang"),
+            F.lit("&id="),
+            (F.col("doc_id") % 200).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    canon = raw.select(
+        "doc_id", "n_chars", canonicalize_url(F.col("url")).alias("canonical_url")
+    )
+    w = Window.partitionBy("canonical_url")
+    ranked = canon.select(
+        "canonical_url",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(w.orderBy(F.col("n_chars").desc(), F.col("doc_id")))
+        .alias("rn"),
+        F.count("*").over(w).alias("n_dups"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "canonical_url",
+        F.col("doc_id").alias("kept_doc"),
+        F.col("n_chars").alias("kept_chars"),
+        "n_dups",
+    )

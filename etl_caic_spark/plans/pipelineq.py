@@ -217,3 +217,64 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.lead("ts").over(w), "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "mv_incremental_refresh",
+    oracle="""
+    SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d')
+             AS day,
+           event_type,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS sum_value,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0 / count(*), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("pipeline", "incremental", "agg"),
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh: the daily-aggregate MV is
+    NOT recomputed from scratch — the stored base partials are merged
+    with a late-arriving delta batch's partials by re-aggregating
+    sum-of-sums / sum-of-counts. The delta is a slice CUTTING ACROSS all
+    days (event_id % 7 — late events land in old days, the hard case),
+    so nearly every (day, type) key exists on BOTH sides and the merge
+    genuinely combines partials rather than concatenating disjoint key
+    ranges. The oracle aggregates the whole table directly: equality
+    proves merge(partials(base), partials(delta)) == full recompute, the
+    property every incremental pipeline depends on. Measures ride as
+    integer cents (exact, order-independent); avg is derived at read
+    time, never averaged. At 100 TB the base partials are the stored MV
+    and the merge shuffles only partial rows (|days| x |types|), not
+    facts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+    )
+
+    def partials(df):
+        return df.groupBy("day", "event_type").agg(
+            F.sum("vc").alias("sv"), F.count("*").alias("n")
+        )
+
+    base = partials(ev.filter(F.col("event_id") % 7 != 0))
+    delta = partials(ev.filter(F.col("event_id") % 7 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(F.sum("sv").alias("sv"), F.sum("n").alias("n"))
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        F.round(F.col("sv") / 100.0, 2).alias("sum_value"),
+        "n",
+        F.round(F.col("sv") / 100.0 / F.col("n"), 6).alias("avg_value"),
+    )

@@ -232,13 +232,22 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB quantile_cont, both index = p*(n-1) with interpolation) — the
     exact twin of agg_approx_quantile's sketch path. Exact percentile
     sorts within the group; at 100 TB use percentile_approx instead (the
-    registered approx query) — this is the correctness anchor."""
+    registered approx query) — this is the correctness anchor. All three
+    quantiles come from ONE percentile(array(...)) aggregate, so the group's
+    values are buffered and sorted once, not three times."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 6).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75"),
+    qs = li.groupBy("l_returnflag").agg(
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+        ).alias("_q"),
         F.count("*").alias("n"),
+    )
+    return qs.select(
+        "l_returnflag",
+        F.round(F.element_at("_q", 1), 6).alias("p25"),
+        F.round(F.element_at("_q", 2), 6).alias("p50"),
+        F.round(F.element_at("_q", 3), 6).alias("p75"),
+        "n",
     )
 
 

@@ -176,3 +176,48 @@ def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("words"),
     )
     return src.select("doc_id", F.explode_outer("words").alias("word"))
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT o_orderstatus, o_orderpriority, cnt,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY cnt DESC, o_orderpriority) AS rn
+      FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+    FROM r WHERE rn = 1
+    """,
+    tags=("agg", "window"),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent value, ties broken by
+    value order — Spark's mode() leaves ties unspecified, so the engine
+    uses count+row_number instead). Two-level shape: the count aggregate
+    reduces the fact table map-side, and the row_number window runs over
+    |groups|x|distinct values| rows only — at 100 TB the window input is
+    KBs. The same shape generalizes to any "argmax per group"."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )

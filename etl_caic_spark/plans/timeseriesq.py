@@ -150,3 +150,163 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+@register(
+    "ts_time_weighted_avg",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, vc,
+             (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+              - us) // 1000 AS dt_ms
+      FROM o
+    )
+    SELECT user_id,
+           round(CAST(sum(vc * dt_ms) AS BIGINT)
+                 / (100.0 * CAST(sum(dt_ms) AS BIGINT)), 6) AS twa,
+           CAST(count(*) AS BIGINT) AS n_segments
+    FROM d
+    WHERE dt_ms IS NOT NULL
+    GROUP BY user_id
+    HAVING CAST(sum(dt_ms) AS BIGINT) > 0
+    """,
+    tags=("timeseries", "window", "agg"),
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per series — the irregular-sampling average a
+    hypertable engine exposes: each observation is weighted by how long it
+    stayed current (sum(value*dt)/sum(dt) over lead(ts) segments; the last
+    observation of a series carries no weight). Value rides in integer
+    CENTS and dt in integer MILLISECONDS so the weighted sum is an exact
+    BIGINT reduction (order-independent — SCALE.md round-2 findings); the
+    dollar TWA is reconstructed once at the end, identically on both
+    engines. Magnitudes: cents<=5e4, dt_ms<=~3e9, ~1e2 segments/user →
+    sums ~1e15 << 2^63. One window + one groupBy, both keyed on user_id —
+    a single exchange at scale. The reference has no time-series surface;
+    this extends SURVEY.md §2.C analytics scope."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    d = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("us"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+        )
+        .withColumn("dt_us", F.lead("us").over(w) - F.col("us"))
+        # integer `div`, not double /1000: a double quotient can round up
+        # across the truncation boundary; DuckDB's // floors exactly.
+        .withColumn("dt_ms", F.expr("dt_us div 1000"))
+    )
+    return (
+        d.filter(F.col("dt_ms").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("vc") * F.col("dt_ms")).alias("_wsum"),
+            F.sum("dt_ms").alias("_dt"),
+            F.count("*").alias("n_segments"),
+        )
+        .filter(F.col("_dt") > 0)
+        .select(
+            "user_id",
+            F.round(F.col("_wsum") / (F.lit(100.0) * F.col("_dt")), 6).alias(
+                "twa"
+            ),
+            "n_segments",
+        )
+    )
+
+
+@register(
+    "ts_gapfill_locf",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS b,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, min(b) AS mn, max(b) AS mx FROM h GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS b
+      FROM r
+    ),
+    j AS (
+      SELECT s.event_type, s.b, h.sv, h.n FROM spine s
+      LEFT JOIN h ON s.event_type = h.event_type AND s.b = h.b
+    ),
+    f AS (
+      SELECT event_type, b, (sv IS NULL) AS is_gap,
+             last_value(sv IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv_f,
+             last_value(n IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_f
+      FROM j
+    )
+    SELECT event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+           round(sv_f / (100.0 * n_f), 6) AS avg_value, is_gap
+    FROM f
+    """,
+    tags=("timeseries", "window"),
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with last-observation-carried-forward — the hypertable
+    `time_bucket_gapfill` + `locf` shape: per-series hourly aggregates are
+    joined onto a dense per-series hour spine (sequence() of the series'
+    own min..max hour) and empty hours inherit the previous hour's
+    aggregate via last(ignorenulls) — sum and count carried from the SAME
+    source row, so the reconstructed avg is a real historical value, never
+    a mix. The spine is generated per GROUP (5 types x ~720 hours — tiny
+    vs the fact table) so no global collect; at 100 TB the spine explode
+    is O(series x buckets), independent of event count, and the fill
+    window shuffles once on the series key. Aggregates ride as integer
+    cents (exact reduction); avg is reconstructed once at the end."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.withColumn("b", F.date_trunc("hour", F.col("ts")))
+        .withColumn("vc", F.round(F.col("value") * 100, 0).cast("bigint"))
+        .groupBy("event_type", "b")
+        .agg(F.sum("vc").alias("sv"), F.count("*").alias("n"))
+    )
+    spine = (
+        h.groupBy("event_type")
+        .agg(F.min("b").alias("mn"), F.max("b").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("b"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = spine.join(h, ["event_type", "b"], "left")
+    return (
+        j.withColumn("is_gap", F.col("sv").isNull())
+        .withColumn("sv_f", F.last("sv", ignorenulls=True).over(w))
+        .withColumn("n_f", F.last("n", ignorenulls=True).over(w))
+        .select(
+            "event_type",
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.round(F.col("sv_f") / (F.lit(100.0) * F.col("n_f")), 6).alias(
+                "avg_value"
+            ),
+            "is_gap",
+        )
+    )

@@ -28,7 +28,13 @@ def test_lsh_pairs_subset_of_brute_force(spark):
     """Every LSH-verified pair must appear in the brute-force pair set at
     the same threshold (LSH can miss pairs, never invent them)."""
     e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    pairs = L.lsh_cosine_pairs(e, "vec_id", "embedding", threshold=0.3).collect()
+    # Anchor config (16 planes / 4-bit bands): collision-rich on a tiny
+    # corpus so the subset property is actually exercised; the operator
+    # defaults are the sparse scale config (64/16) and would emit ~0
+    # candidate pairs on random small-SF vectors.
+    pairs = L.lsh_cosine_pairs(
+        e, "vec_id", "embedding", threshold=0.3, planes=16, band_bits=4
+    ).collect()
     vecs = {r["vec_id"]: r["embedding"] for r in e.collect()}
     assert len(pairs) > 0
     for r in pairs:
@@ -43,7 +49,7 @@ def test_lsh_signatures_deterministic(spark):
     s1 = sorted(map(tuple, L.hyperplane_signatures(e).collect()))
     s2 = sorted(map(tuple, L.hyperplane_signatures(e).collect()))
     assert s1 == s2
-    # 16 planes / 4-bit bands -> 4 band rows per vector
+    # default 64 planes / 16-bit bands -> 4 band rows per vector
     assert len(s1) == 50 * 4
 
 

@@ -159,9 +159,12 @@ def main():
                     repetition_signals(docs, "doc_id", "text", include_bigrams=False)
                 )
             ),
+            # Default (scale) config: 64 planes / 16-bit bands. The 4-bit
+            # correctness-anchor config measured quadratic here (205 s at
+            # 30x) — see operators/lsh.py for the collision math.
             "lsh_cosine": timeit(
                 lambda: noop(
-                    lsh_cosine_pairs(emb, "vec_id", "embedding", threshold=0.3)
+                    lsh_cosine_pairs(emb, "vec_id", "embedding", threshold=0.9)
                 )
             ),
             "pagerank": timeit(
