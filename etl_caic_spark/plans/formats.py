@@ -134,3 +134,67 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{out}/v=1", f"{out}/v=2"
     )
     return merged.select("c_custkey", "c_name", "c_acctbal")
+
+
+@register("sink_xml_roundtrip", oracle=_ROUNDTRIP_ORACLE, tags=("sink", "format"))
+def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML write → schema-explicit XML read (Spark 4 ships the XML source
+    natively; rowTag framing). Same lossless-roundtrip contract as the
+    CSV/JSONL/ORC sinks — the oracle is the SOURCE slice, so the write+
+    read must be value-preserving. XML is the interchange format of the
+    legacy-feed world; at 100 TB it is an ingest-only format (row-based,
+    no column pruning) — land it to parquet in one pass, as here."""
+    import shutil
+
+    out = scratch_path("etl_caic_sink_xml")
+    shutil.rmtree(out, ignore_errors=True)
+    _roundtrip_src(spark, sf_dir).write.format("xml").option(
+        "rowTag", "row"
+    ).save(out)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema(_ROUNDTRIP_SCHEMA)
+        .load(out)
+    )
+
+
+@register(
+    "sink_text_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+    FROM lineitem
+    WHERE l_orderkey % 19 = 0
+    """,
+    tags=("sink", "format"),
+)
+def sink_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text sink/source: rows serialized to one delimited
+    line each (spark.read.text is the raw-log ingest path — one `value`
+    column, no schema), then parsed back with split/cast projections.
+    The quantity travels as integer CENTS in the line so the re-cast
+    double is exact. Text scans can't prune columns — every byte of
+    every line is read — which is why raw logs get parsed once and
+    landed columnar; this query IS that parse step."""
+    import shutil
+
+    out = scratch_path("etl_caic_sink_text")
+    shutil.rmtree(out, ignore_errors=True)
+    src = _roundtrip_src(spark, sf_dir)
+    src.select(
+        F.concat_ws(
+            "\x1f",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_returnflag"),
+            F.round(F.col("l_quantity") * 100, 0).cast("bigint").cast("string"),
+        ).alias("value")
+    ).write.mode("overwrite").text(out)
+    t = spark.read.text(out)
+    p = F.split(F.col("value"), "\x1f")
+    return t.select(
+        F.element_at(p, 1).cast("bigint").alias("l_orderkey"),
+        F.element_at(p, 2).cast("int").alias("l_linenumber"),
+        F.element_at(p, 3).alias("l_returnflag"),
+        (F.element_at(p, 4).cast("bigint") / 100.0).alias("l_quantity"),
+    )

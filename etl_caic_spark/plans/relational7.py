@@ -221,3 +221,68 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    WITH dim AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0),
+    o AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+      FROM orders LEFT JOIN dim d ON o_custkey = d.c_custkey
+    ),
+    l AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+      FROM lineitem
+      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) ok
+        ON l_orderkey = ok.o_orderkey
+    )
+    SELECT 'orders->customer' AS relation, n_rows, n_orphans,
+           round(n_orphans / n_rows, 6) AS orphan_rate
+    FROM o
+    UNION ALL
+    SELECT 'lineitem->orders', n_rows, n_orphans,
+           round(n_orphans / n_rows, 6)
+    FROM l
+    """,
+    tags=("dq", "join", "agg"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — orphan detection across two FK
+    relations (orders→customer, lineitem→orders), with the customer dim
+    deliberately punctured (custkey % 10 dropped) so the audit provably
+    DETECTS violations rather than vacuously passing. Each check is a
+    broadcast left join against just the DIM KEY COLUMN (column-pruned
+    scan) reduced to counts map-side — at 100 TB the fact table streams
+    through once per relation, no fact shuffle. This is the data-quality
+    gate a pipeline runs before publishing a snapshot."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 != 0)
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def audit(fact, fk, dim, pk, label):
+        j = fact.join(F.broadcast(dim), fact[fk] == dim[pk], "left")
+        return j.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(dim[pk].isNull(), 1).otherwise(0)).alias("n_orphans"),
+        ).select(
+            F.lit(label).alias("relation"),
+            "n_rows",
+            "n_orphans",
+            F.round(F.col("n_orphans") / F.col("n_rows"), 6).alias(
+                "orphan_rate"
+            ),
+        )
+
+    okeys = orders.select("o_orderkey").distinct()
+    return audit(orders, "o_custkey", cust, "c_custkey", "orders->customer").unionByName(
+        audit(li, "l_orderkey", okeys, "o_orderkey", "lineitem->orders")
+    )

@@ -121,3 +121,59 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_comp = len([f for f in os.listdir(compact_dir) if f.endswith(".parquet")])
     assert n_comp < n_frag, (n_comp, n_frag)  # compaction must reduce file count
     return spark.read.parquet(compact_dir)
+
+
+def _morton_sql(xcol: str, ycol: str, bits: int = 8) -> str:
+    """Bit-interleave SQL shared by the oracle — x in even bits, y in odd."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "layout_zorder",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_partkey % 256 AS BIGINT) AS px,
+           CAST(l_orderkey % 256 AS BIGINT) AS ox,
+           CAST({_morton_sql('(l_partkey % 256)', '(l_orderkey % 256)')}
+                AS BIGINT) AS zkey
+    FROM lineitem WHERE l_orderkey % 23 = 0
+    """,
+    tags=("layout", "scale"),
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: interleave the bits of two join/
+    filter dimensions so ONE sort key preserves locality in BOTH — the
+    data-layout trick behind multi-dimensional data skipping (sort by
+    zkey before writing; parquet row-group min/max stats then prune
+    selective predicates on EITHER dimension, verified against row-group
+    footers in tests/test_layout.py). Pure integer bit arithmetic —
+    identical shift/mask expressions on both engines, no UDF. At 100 TB
+    z-ordering is a write-time layout choice: one extra sort per
+    partition rewrite, amortized over every subsequent pruned scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 23 == 0
+    )
+    # l_orderkey, not l_suppkey, as the second dim: TPC-H derives suppkey
+    # FROM partkey, so a partkey sort already clusters suppkey and
+    # z-ordering would demonstrate nothing (caught by test_layout.py).
+    px = (F.col("l_partkey") % 256).cast("bigint")
+    sx = (F.col("l_orderkey") % 256).cast("bigint")
+    zkey = F.lit(0).cast("bigint")
+    for i in range(8):
+        zkey = zkey + (
+            F.shiftright(px.bitwiseAND(F.lit(1 << i)), i) * F.lit(1 << (2 * i))
+        ) + (
+            F.shiftright(sx.bitwiseAND(F.lit(1 << i)), i)
+            * F.lit(1 << (2 * i + 1))
+        )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        px.alias("px"),
+        sx.alias("ox"),
+        zkey.alias("zkey"),
+    )
