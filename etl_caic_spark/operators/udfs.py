@@ -89,3 +89,42 @@ def parse_props_batches(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_parse, out_schema)
+
+
+def net_price_arrow_batches(df: DataFrame) -> DataFrame:
+    """mapInArrow: the zero-copy sibling of mapInPandas — batches arrive
+    as pyarrow RecordBatches and never materialize a pandas object, so
+    there is no index/NaN-coercion overhead and fixed-width columns stay
+    in Arrow buffers end-to-end. The right lane when the kernel is pure
+    Arrow compute (casts, arithmetic, take/filter); use mapInPandas only
+    when pandas-specific APIs (str regex, rolling) are genuinely needed.
+    Net price is computed in integer CENTS (exact at any batch split);
+    the dollar value is reconstructed once."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_schema = "l_orderkey bigint, l_linenumber int, net_cents bigint"
+
+    def _net(batches):
+        for b in batches:
+            price_c = pc.cast(
+                pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)),
+                pa.int64(),
+            )
+            disc_pct = pc.cast(
+                pc.round(pc.multiply(b.column("l_discount"), 100.0)),
+                pa.int64(),
+            )
+            # net = price * (100 - disc_pct) DIV 100, all int64
+            net = pc.divide(
+                pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct)),
+                pa.scalar(100, pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), b.column("l_linenumber"), net],
+                ["l_orderkey", "l_linenumber", "net_cents"],
+            )
+
+    return df.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    ).mapInArrow(_net, out_schema)

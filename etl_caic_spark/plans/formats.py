@@ -198,3 +198,91 @@ def sink_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(p, 3).alias("l_returnflag"),
         (F.element_at(p, 4).cast("bigint") / 100.0).alias("l_quantity"),
     )
+
+
+@register(
+    "source_python_datasource",
+    oracle="""
+    SELECT s AS id, CAST(s % 8 AS INT) AS part,
+           (s * 2654435761) % 1000003 AS val,
+           'p' || CAST(s % 7 AS VARCHAR) AS label
+    FROM generate_series(0, 4999) t(s)
+    """,
+    tags=("source", "datasource"),
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan through a CUSTOM Python DataSource (Spark 4 datasource API,
+    sources/pyds.py): 8 InputPartitions stride the id space, so the read
+    is executor-parallel with no driver bottleneck — the connector shape
+    for APIs Spark lacks, complementing the driver-side REST snapshot
+    source (sources/rest.py). Rows are a pure function of id, so the
+    oracle reproduces the scan content exactly — a hash-matched custom
+    source."""
+    from etl_caic_spark.sources.pyds import register_synthseq
+
+    register_synthseq(spark)
+    return (
+        spark.read.format("synthseq")
+        .option("n", 5000)
+        .option("parts", 8)
+        .load()
+    )
+
+
+@register(
+    "scan_csv_malformed",
+    oracle="""
+    SELECT CAST(CASE WHEN c_custkey % 4 = 0 THEN NULL
+                     ELSE c_custkey END AS BIGINT) AS c_custkey,
+           c_mktsegment,
+           (c_custkey % 4 = 0) AS is_corrupt
+    FROM customer WHERE c_custkey % 3 = 0
+    """,
+    tags=("source", "format", "dq"),
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingestion of a feed with malformed rows: every 4th
+    row carries an unparseable key ('X'-prefixed), and the reader lands
+    it as NULL + populates columnNameOfCorruptRecord instead of failing
+    the job — the quarantine-don't-crash ingest contract (the corrupt
+    line is preserved verbatim for a dead-letter sink). The oracle
+    derives the same good/bad classification from the corruption rule.
+    FAILFAST is the right mode only when upstream is trusted;
+    DROPMALFORMED silently loses data and is never the default here."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    out = scratch_path("etl_caic_csv_malformed")
+    shutil.rmtree(out, ignore_errors=True)
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    c.select(
+        F.concat(
+            F.when(F.col("c_custkey") % 4 == 0, F.lit("X")).otherwise(F.lit("")),
+            F.col("c_custkey").cast("string"),
+            F.lit(","),
+            F.col("c_mktsegment"),
+        ).alias("value")
+    ).write.mode("overwrite").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    read = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    return read.select(
+        "c_custkey",
+        # corrupt rows park the raw line in _corrupt and null out fields;
+        # recover the segment for the audit output from the raw line
+        F.coalesce(
+            "c_mktsegment", F.split(F.col("_corrupt"), ",").getItem(1)
+        ).alias("c_mktsegment"),
+        F.col("_corrupt").isNotNull().alias("is_corrupt"),
+    )

@@ -286,3 +286,162 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit(orders, "o_custkey", cust, "c_custkey", "orders->customer").unionByName(
         audit(li, "l_orderkey", okeys, "o_orderkey", "lineitem->orders")
     )
+
+
+@register(
+    "agg_corr_exact_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM (
+        SELECT l_returnflag,
+               CAST(round(l_quantity) AS BIGINT) AS x,
+               CAST(round(l_extendedprice) AS BIGINT) AS y
+        FROM lineitem
+      )
+      GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS corr_qty_price,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS cov_pop
+    FROM m
+    """,
+    tags=("agg", "stats"),
+)
+def agg_corr_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population covariance per group from EXACT
+    integer moments: the five sums (Σx, Σy, Σxy, Σx², Σy²) reduce in
+    BIGINT (order-independent — the same fixed-point discipline as
+    rollup_timeseries), and only the FINAL formula runs in doubles, so
+    the result is bit-identical across engines and partitionings —
+    unlike F.corr, whose streaming double accumulation is
+    partition-order dependent and can flip a 6-decimal rounding.
+    Values are rounded to whole units first (quantity is integral;
+    price to dollars) so Σy² stays ~1e15 << 2^63 even at sf1000.
+    One map-side-combined aggregate; moments compose, so this also
+    works as an incremental-MV merge."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_quantity", 0).cast("bigint").alias("x"),
+        F.round("l_extendedprice", 0).cast("bigint").alias("y"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    num = nd * sxy - sx * sy
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            num / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)), 6
+        ).alias("corr_qty_price"),
+        F.round(num / (nd * nd), 6).alias("cov_pop"),
+    )
+
+
+@register(
+    "fn_bitagg",
+    oracle="""
+    SELECT user_id,
+           CAST(bit_or(flag) AS BIGINT) AS flags_any,
+           CAST(bit_xor(flag) AS BIGINT) AS flags_parity,
+           CAST(count(DISTINCT flag) AS BIGINT) AS n_distinct_types
+    FROM (
+      SELECT user_id,
+             CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                  WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                  ELSE 16 END AS flag
+      FROM events
+    )
+    GROUP BY user_id
+    """,
+    tags=("agg", "bitwise"),
+)
+def fn_bitagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates: event types one-hot packed into an int and
+    reduced with bit_or (the set of types a user ever produced — a
+    64-wide bitmap in ONE bigint, the poor man's bitmap index) and
+    bit_xor (parity). Bit reductions are associative+commutative, so
+    they map-side combine perfectly — at 100 TB the shuffle carries one
+    bigint per (user, column), the cheapest possible per-key state."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .otherwise(16)
+        .cast("bigint")
+        .alias("flag"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.bit_or("flag").alias("flags_any"),
+        F.bit_xor("flag").alias("flags_parity"),
+        F.count_distinct("flag").alias("n_distinct_types"),
+    )
+
+
+@register(
+    "subquery_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey, l.o_totalprice
+    FROM customer c
+    JOIN LATERAL (
+      SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) l ON true
+    WHERE c.c_custkey % 7 = 0
+    """,
+    tags=("subquery", "join", "sql"),
+)
+def subquery_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join — top-2 orders per customer expressed as
+    a per-row dependent subquery (the SQL-standard form; Spark rewrites
+    it to a DomainJoin + window internally, so the physical plan is the
+    same rank-filter shape as win_topk_per_group, not N correlated
+    scans). Registered as literal SQL to pin the engine's lateral-join
+    surface alongside the DataFrame formulations."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey, l.o_totalprice
+        FROM customer c
+        JOIN LATERAL (
+          SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+          FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) l
+        WHERE c.c_custkey % 7 = 0
+        """
+    )

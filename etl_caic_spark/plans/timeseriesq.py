@@ -310,3 +310,71 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_gap",
         )
     )
+
+
+@register(
+    "win_pattern_purchase_error",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_type, us, ts_s,
+             lead(event_type) OVER w AS next_type,
+             lead(us) OVER w AS next_us,
+             lead(ts_s) OVER w AS next_ts_s
+      FROM o
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    )
+    SELECT user_id, ts_s AS purchase_ts, next_ts_s AS error_ts,
+           (next_us - us) // 1000000 AS gap_seconds
+    FROM seq
+    WHERE event_type = 'purchase' AND next_type = 'error'
+      AND next_us - us <= 600000000
+    """,
+    tags=("timeseries", "window", "pattern"),
+)
+def win_pattern_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (MATCH_RECOGNIZE-lite): find a
+    purchase IMMEDIATELY followed by an error for the same user within
+    10 minutes — the adjacent-pair special case that one lead() window
+    expresses without a self-join. Longer patterns chain more lead()
+    columns or fall back to the funnel_stages join shape. One shuffle on
+    the series key; the gap rides as exact integer microseconds."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+    seq = o.select(
+        "user_id",
+        "event_type",
+        "us",
+        "ts_s",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("us").over(w).alias("next_us"),
+        F.lead("ts_s").over(w).alias("next_ts_s"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("next_type") == "error")
+            & (F.col("next_us") - F.col("us") <= 600_000_000)
+        )
+        .withColumn("gap_us", F.col("next_us") - F.col("us"))
+        .select(
+            "user_id",
+            F.col("ts_s").alias("purchase_ts"),
+            F.col("next_ts_s").alias("error_ts"),
+            F.expr("gap_us div 1000000").alias("gap_seconds"),
+        )
+    )

@@ -139,3 +139,34 @@ def test_scd2_history_hand_case(spark):
             # contiguous validity; no consecutive duplicate states
             assert prev["valid_to"] == nxt["valid_from"]
             assert prev["event_type"] != nxt["event_type"]
+
+
+def test_python_datasource_partition_parallel(spark):
+    """The custom source exposes its InputPartitions to Spark: 8 declared
+    partitions => 8 scan tasks, and the strided id space gives each an
+    equal slice (executor-parallel, no driver bottleneck)."""
+    from etl_caic_spark.sources.pyds import register_synthseq
+
+    register_synthseq(spark)
+    df = spark.read.format("synthseq").option("n", 800).option("parts", 8).load()
+    assert df.rdd.getNumPartitions() == 8
+    per_part = df.groupBy("part").count().collect()
+    assert len(per_part) == 8
+    assert all(r["count"] == 100 for r in per_part)
+
+
+def test_hll_sketch_estimates_close_to_exact(spark):
+    from etl_caic_spark.plans import udfq  # noqa: F401
+    from etl_caic_spark.registry import REGISTRY
+
+    rows = REGISTRY["agg_hll_sketch"].fn(spark, SF_DIR).collect()
+    per_type = [r for r in rows if r["event_type"] != "__all__"]
+    assert len(per_type) >= 3
+    for r in per_type:
+        rel = abs(r["est_distinct"] - r["exact_distinct"]) / max(
+            r["exact_distinct"], 1
+        )
+        assert rel <= 0.05, (r["event_type"], r["est_distinct"], r["exact_distinct"])
+    # the merged sketch's estimate is >= the largest per-type estimate
+    total = [r for r in rows if r["event_type"] == "__all__"][0]
+    assert total["est_distinct"] >= max(r["est_distinct"] for r in per_type)
