@@ -323,3 +323,50 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         SF.max("n").cast("bigint").alias("n"),
         SF.round(SF.max_by("total", "n"), 2).alias("total"),
     )
+
+
+@register(
+    "stream_python_datasource",
+    oracle="""
+    SELECT s AS id, CAST(s % 8 AS INT) AS part,
+           (s * 2654435761) % 1000003 AS val,
+           'p' || CAST(s % 7 AS VARCHAR) AS label
+    FROM generate_series(0, 1499) t(s)
+    """,
+    tags=("streaming", "source", "datasource"),
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming read through the custom Python DataSource
+    (sources/pyds.SynthSeqStreamReader — Spark 4
+    SimpleDataSourceStreamReader): two scheduled availableNow runs drain
+    the 1500-row sequence in 750-row micro-batches, with the CHECKPOINT
+    carrying the cursor between runs — the scheduled-pull ingestion
+    pattern (the streaming twin of the reference's scheduled Lambda
+    snapshot, task.ts:88-107): each run resumes exactly where the last
+    committed offset left off, so re-runs never duplicate and never skip.
+    The oracle is the full closed-form sequence — equality proves the
+    offset hand-off is exact."""
+    import shutil
+
+    from etl_caic_spark.sources.pyds import register_synthseq
+    from etl_caic_spark.util import scratch_path
+
+    register_synthseq(spark)
+    ckpt = scratch_path("etl_caic_pyds_stream_ckpt")
+    out = scratch_path("etl_caic_pyds_stream_out")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    for _run in range(2):  # two scheduled pulls share one checkpoint
+        q = (
+            spark.readStream.format("synthseq")
+            .option("n", 1500)
+            .option("rowsPerBatch", 750)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return spark.read.parquet(out)

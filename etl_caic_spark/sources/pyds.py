@@ -18,7 +18,12 @@ equal-sized regardless of n.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # Knuth's multiplicative hash constant; id < ~4e9 keeps id*K < 2^63.
 _K = 2654435761
@@ -38,6 +43,9 @@ class SynthSeqDataSource(DataSource):
     def reader(self, schema) -> "SynthSeqReader":
         return SynthSeqReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SynthSeqStreamReader":
+        return SynthSeqStreamReader(self.options)
+
 
 class SynthSeqReader(DataSourceReader):
     def __init__(self, options):
@@ -56,3 +64,38 @@ class SynthSeqReader(DataSourceReader):
 def register_synthseq(spark) -> None:
     """Idempotent registration of the source with a session."""
     spark.dataSource.register(SynthSeqDataSource)
+
+
+class SynthSeqStreamReader(SimpleDataSourceStreamReader):
+    """Offset-based streaming read of the same deterministic sequence —
+    Spark 4 `SimpleDataSourceStreamReader`: the engine calls
+    initialOffset()/read(start) per micro-batch and checkpoints the
+    returned offsets; readBetweenOffsets replays a committed range after
+    failure, which is trivially exact here because rows are a pure
+    function of position. This is the template for cursor/offset APIs
+    (change feeds, paginated REST) — the source of truth for progress is
+    the CHECKPOINT, not the remote system."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.parts = int(options.get("parts", 8))
+        self.batch = int(options.get("rowsPerBatch", 500))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def _rows(self, lo: int, hi: int):
+        return iter(
+            [
+                (rid, rid % self.parts, (rid * _K) % _M, f"p{rid % 7}")
+                for rid in range(lo, hi)
+            ]
+        )
+
+    def read(self, start):
+        lo = start["pos"]
+        hi = min(lo + self.batch, self.n)
+        return self._rows(lo, hi), {"pos": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(start["pos"], end["pos"])
