@@ -10,6 +10,7 @@ sizing — nothing here assumes a single file.
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -39,14 +40,104 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def events_ts_physical_type(path: str):
+    """Sniff the parquet footer for the physical/logical type of ``ts``.
+
+    Fixture generations have shipped events.ts as parquet TIMESTAMP(NANOS)
+    (earlier rounds) and as TIMESTAMP(MICROS) (current), so the loader
+    branches on the footer instead of assuming either. A footer read is
+    metadata-only — no row groups are touched — and is cached per path.
+    """
+    return _sniff_ts(path)
+
+
+@lru_cache(maxsize=64)
+def _sniff_ts(path: str):
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = path
+    if os.path.isdir(p):
+        # Multi-file dataset: all parts share a schema; sniff the first.
+        p = sorted(glob.glob(os.path.join(p, "*.parquet")))[0]
+    t = pq.read_schema(p).field("ts").type
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_integer(t):
+        return "int_nanos"
+    raise TypeError(
+        f"events.ts has unsupported parquet type {t!r} in {p}; "
+        "expected a timestamp or int64-nanos column "
+        "(update etl_caic_spark/sources/tables.py if the fixture changed)"
+    )
+
+
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects. Read nanos as raw INT64 and truncate to a µs TimestampType —
-    exactly what DuckDB does when casting TIMESTAMP_NS → TIMESTAMP, so the
-    oracle agrees. Integer DIV keeps the conversion exact (ns since epoch
-    exceeds double's 2^53 mantissa)."""
+    """Load events with ``ts`` normalized to a µs TimestampType regardless
+    of how the fixture encodes it:
+
+    - TIMESTAMP(MICROS/MILLIS): Spark reads no-tz parquet timestamps as
+      TIMESTAMP_NTZ; cast to TimestampType (session TZ is UTC everywhere in
+      this engine, so the cast is value-identical and the DuckDB oracle —
+      which reads the same column as naive TIMESTAMP — agrees).
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects nanos, so read
+      them as raw INT64 under ``spark.sql.legacy.parquet.nanosAsLong`` and
+      integer-DIV to µs (ns since epoch exceeds double's 2^53 mantissa;
+      DIV matches DuckDB's TIMESTAMP_NS → TIMESTAMP truncation).
+
+    A footer-stats sanity check makes silent type drift impossible: if a
+    future fixture change makes the decoded timestamps land outside a sane
+    range, the load throws instead of emitting 1970-collapsed data.
+    """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, "events"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    path = table_path(sf_dir, "events")
+    kind = events_ts_physical_type(path)
+    if kind == "int_nanos":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        df = spark.read.parquet(path)
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _assert_sane_ts_range(path, kind)
+    return df
+
+
+@lru_cache(maxsize=64)
+def _assert_sane_ts_range(path: str, kind: str) -> None:
+    """Footer-only guard: min(ts) across row-group statistics must decode to
+    a year in (1990, 2100). Catches unit mismatches (s vs ms vs µs vs ns)
+    the moment the driver regenerates the fixture with a new encoding."""
+    import datetime
+    import glob
+
+    import pyarrow.parquet as pq
+
+    p = path
+    if os.path.isdir(p):
+        p = sorted(glob.glob(os.path.join(p, "*.parquet")))[0]
+    md = pq.ParquetFile(p).metadata
+    idx = md.schema.to_arrow_schema().get_field_index("ts")
+    mins = []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is not None and st.has_min_max:
+            mins.append(st.min)
+    if not mins:
+        return  # no stats written; nothing cheap to check
+    lo = min(mins)
+    if kind == "int_nanos":
+        lo = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=lo // 1000
+        )
+    if not (1990 < lo.year < 2100):
+        raise ValueError(
+            f"events.ts sanity check failed: min(ts) decodes to {lo!r} "
+            f"under the {kind!r} interpretation for {p}. The fixture's "
+            "timestamp encoding has drifted; fix "
+            "etl_caic_spark/sources/tables.py before trusting any "
+            "events-derived result."
+        )

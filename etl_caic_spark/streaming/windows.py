@@ -23,34 +23,53 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Parquet TIMESTAMP(NANOS) arrives as raw INT64 under the nanosAsLong flag;
-# the stream reader needs the schema up front.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
-def _normalize_ts(df: DataFrame) -> DataFrame:
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    """The stream reader needs the schema up front; ``ts``'s raw type depends
+    on the fixture's parquet encoding (see sources/tables.py sniffing)."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over events.parquet with ``ts`` normalized to a µs
+    TimestampType — the same footer-sniffed branching as the batch loader
+    (sources/tables.py), so batch↔stream equivalence holds by construction.
+    The footer sanity assert runs here too: silent unit drift throws instead
+    of collapsing every timestamp to ~1970."""
+    from etl_caic_spark.sources.tables import (
+        _assert_sane_ts_range,
+        events_ts_physical_type,
+        table_path,
+    )
+
+    path = table_path(sf_dir, "events")
+    kind = events_ts_physical_type(path)
+    _assert_sane_ts_range(path, kind)
+    if kind == "int_nanos":
+        # Parquet TIMESTAMP(NANOS) arrives as raw INT64 under the flag.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = _events_stream_schema(T.LongType())
+    else:
+        # No-tz parquet timestamps surface as TIMESTAMP_NTZ.
+        schema = _events_stream_schema(T.TimestampNTZType())
     # The file source requires a directory; glob-filter to the events file.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return _normalize_ts(raw)
+    if kind == "int_nanos":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_agg(events: DataFrame) -> DataFrame:
