@@ -20,8 +20,11 @@ run converges in 2-3 iterations."""
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def connected_components(
@@ -29,9 +32,22 @@ def connected_components(
     left_col: str = "doc_a",
     right_col: str = "doc_b",
     max_iter: int = 10,
+    driver_edge_cutoff: int = 1_000_000,
 ) -> DataFrame:
     """pairs(left, right) → (member, component) where component is the
-    minimum vertex id in the connected component."""
+    minimum vertex id in the connected component.
+
+    Size-gated hybrid: the undirected edge set is materialized (checkpoint)
+    either way, so its count is free — when it is at most
+    ``driver_edge_cutoff`` (default 1M edges ≈ 16 MB of longs, trivially
+    driver-resident), a single-pass union-find on the driver replaces the
+    O(log diameter) join rounds, whose per-iteration fixed cost (2 joins +
+    agg + checkpoint + convergence count) dominates for the small edge sets
+    that near-dup thresholds typically produce. Above the cutoff — the
+    regime a 100 TB corpus with billions of candidate pairs lands in — the
+    distributed min-label + pointer-jumping loop below runs unchanged.
+    ``driver_edge_cutoff=0`` forces the distributed path (used by tests to
+    pin its semantics)."""
     edges = (
         pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
         .unionByName(
@@ -40,6 +56,8 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if edges.count() <= driver_edge_cutoff:
+        return _driver_union_find(edges)
     labels = (
         edges.select(F.col("src").alias("v"))
         .distinct()
@@ -94,6 +112,47 @@ def connected_components(
             "(component diameter > 2^max_iter?); raise max_iter"
         )
     return labels.select(F.col("v").alias("member"), "component")
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Min-root union-find over a bounded, already-materialized edge set.
+    Path-halving + union-by-min keeps the root of every tree at the
+    component's minimum vertex id, matching the distributed loop's output
+    exactly (same (member, component) rows, component = min id)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = edges.collect()  # bounded by driver_edge_cutoff at the call site
+    for r in rows:
+        s, d = r["src"], r["dst"]
+        parent.setdefault(s, s)
+        parent.setdefault(d, d)
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            # union by min so the surviving root is the smaller id
+            lo, hi = (rs, rd) if rs < rd else (rd, rs)
+            parent[hi] = lo
+    out = [(v, find(v)) for v in parent]
+    spark = edges.sparkSession
+    vtype = edges.schema["src"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("member", vtype, True),
+            T.StructField("component", vtype, True),
+        ]
+    )
+    # Arrow path (pandas input): ships the rows as one Arrow batch in a
+    # couple of partitions — the list-of-tuples path pickles per-slice and
+    # measured ~5s for a 2-row coalesce(1) on local[32].
+    pdf = pd.DataFrame(out, columns=["member", "component"])
+    return spark.createDataFrame(pdf, schema=schema)
 
 
 def dedup_groups(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:

@@ -41,6 +41,12 @@ def get_spark(
         # never the binding constraint, so this is inert at 100 TB.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Coalesced tiny stages otherwise stall in the scheduler's 3s/level
+        # locality wait (measured: a 2-row coalesce(1) noop write took 5.5s
+        # vs 0.55s). In local mode every task is process-local so the wait
+        # buys nothing; on a real cluster with homogeneous storage-attached
+        # executors 0 is also the common production setting.
+        .config("spark.locality.wait", "0")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -39,12 +39,20 @@ def test_components_match_union_find(spark, sf_dir):
         uf.union(a, b)
     expected = {v: uf.find(v) for v in uf.parent}
 
+    # default path (size-gated: small edge sets run driver union-find)
     got = {
         r["member"]: r["component"] for r in connected_components(pairs).collect()
     }
     # canonical min-representative: union-find path roots ARE the min ids
     # because union() always parents the larger root under the smaller.
     assert got == expected
+
+    # distributed path forced (cutoff=0): must produce identical labels
+    got_dist = {
+        r["member"]: r["component"]
+        for r in connected_components(pairs, driver_edge_cutoff=0).collect()
+    }
+    assert got_dist == expected
 
 
 def test_dedup_groups_representatives(spark, sf_dir):
