@@ -77,6 +77,8 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - warmup must not kill bench
         print(f"bench: warmup skipped: {exc}", file=sys.stderr)
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in sorted(specs):
         try:
@@ -84,6 +86,11 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover - bench must not die
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        # Between queries (untimed): drop Python-side DataFrame refs so the
+        # ContextCleaner can evict localCheckpoint/cache blocks from earlier
+        # queries — otherwise storage memory ratchets up across 167 queries
+        # and later ones pay the GC bill.
+        gc.collect()
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     failed = sorted(n for n, t in timings.items() if t < 0)
     slowest = dict(
