@@ -95,3 +95,25 @@ def test_stop_shingle_cap_bounds_hot_buckets(spark):
     ).count()
     assert uncapped > 0
     assert capped == 0
+
+
+def test_events_ts_filter_pushes_to_parquet_scan(spark, sf_dir):
+    """The events loader casts ts (TIMESTAMP_NTZ in the current fixture) to
+    session-TZ TimestampType; Catalyst must still rewrite a ts range
+    predicate onto the scanned NTZ column so parquet row-group/page pruning
+    works — at 100 TB a time-range scan that cannot push its bound reads
+    the whole table. Pin it to the physical plan."""
+    ev = load_table(spark, sf_dir, "events")
+    plan = (
+        ev.filter(F.col("ts") >= "2024-01-15")
+        .select("event_id", "ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("GreaterThanOrEqual(ts" in ln for ln in pushed), pushed
+    # and projection pruning: only the two selected columns reach the scan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "value" not in read[0] and "props" not in read[0], read
