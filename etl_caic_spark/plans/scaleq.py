@@ -177,3 +177,83 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         sx.alias("ox"),
         zkey.alias("zkey"),
     )
+
+
+@register(
+    "join_runtime_bloom",
+    oracle="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) / 100.0, 2) AS total
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 300000
+    GROUP BY 1
+    """,
+    tags=("join", "scale", "runtime-filter"),
+)
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: a selective dim-side filter
+    (o_totalprice > 300k keeps ~13% of orders) injects a bloom filter of
+    the surviving join keys into the FACT-side scan, so most lineitem rows
+    are dropped before the join's shuffle — at 100 TB this is the
+    difference between shuffling the whole fact table and shuffling the
+    ~13% that can match. Thresholds are lowered to engage the optimizer at
+    test scale (probe side must normally exceed 10 GB — exactly the 100 TB
+    regime); the injected `might_contain` predicate is asserted on the
+    plan so the query fails loudly if the rewrite ever stops applying, and
+    the oracle (plain join) pins that bloom false-positives never change
+    results. Sum rides as integer cents of an exact-by-construction
+    2-decimal column; one double division at the end.
+
+    Confs are set/restored around plan construction only — the settings
+    steer this plan's optimization and nothing else."""
+    bloom_confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # engage at test scale; the default 10GB floor IS the target regime
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # broadcast would bypass the runtime-filter path entirely; at 100 TB
+        # a 13%-of-orders build side is far past broadcast range anyway
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in bloom_confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 300000
+        )
+        out = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.round(
+                    F.sum(F.round(F.col("l_extendedprice") * 100, 0))
+                    / 100.0,
+                    2,
+                ).alias("total"),
+            )
+        )
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        if "might_contain" not in plan:
+            raise AssertionError(
+                "runtime bloom filter was not injected into the fact-side "
+                "scan; check the optimizer.runtime.bloomFilter confs"
+            )
+        # The toString above materialized THIS QueryExecution's lazy
+        # optimizedPlan under the confs; the later action on `out` reuses
+        # it, bloom included — no need to execute anything here.
+        return out
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
