@@ -74,6 +74,21 @@ def main() -> None:
             .mode("overwrite")
             .save()
         )
+        # Python DataSource machinery (planner-side Python process + source
+        # registration) is likewise a one-time cost; a tiny scan warms it so
+        # the datasource queries measure steady-state connector throughput.
+        from etl_caic_spark.sources.pyds import register_synthseq
+
+        register_synthseq(spark)
+        (
+            spark.read.format("synthseq")
+            .option("n", 64)
+            .option("parts", 2)
+            .load()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
     except Exception as exc:  # pragma: no cover - warmup must not kill bench
         print(f"bench: warmup skipped: {exc}", file=sys.stderr)
 
