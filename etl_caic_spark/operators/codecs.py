@@ -1,0 +1,201 @@
+"""Pure-stdlib media codecs: PNG (zlib) and WAV (struct) encode/decode.
+
+The container ships no PIL/soundfile, but PNG's format is zlib-deflated
+filtered scanlines and WAV PCM is raw little-endian samples — both fully
+decodable with the standard library plus NumPy. These codecs make the
+multimodal pipeline REAL end-to-end for image and audio payloads: the
+binary column holds genuine PNG/WAV bytes, and decode/resize/feature
+stages operate on actual pixels/samples instead of the deterministic fake
+(operators/multimodal.py keeps the fake for its oracled byte-stat queries;
+the codec queries in plans/multimodalq2.py are rows-only with exact
+encode→decode roundtrip pytests).
+
+Supported subset (documented, asserted):
+- PNG: 8-bit, greyscale (color type 0) and RGB (color type 2), no
+  interlace. The encoder emits filter 0 scanlines; the decoder implements
+  ALL five PNG filters (None/Sub/Up/Average/Paeth) so externally produced
+  baseline PNGs of these color types decode too.
+- WAV: PCM 16-bit little-endian, mono or interleaved stereo.
+
+Scale: codecs are per-row NumPy kernels invoked inside Arrow-batched
+mapInPandas — partition-parallel, no driver involvement, payload bytes
+colocated with metadata in parquet row groups (same shape as the fake
+path; see multimodal.py module docstring).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 array (h, w) greyscale or (h, w, 3) RGB → baseline PNG bytes
+    (bit depth 8, filter 0 scanlines, single IDAT)."""
+    if arr.dtype != np.uint8:
+        raise ValueError(f"encode_png wants uint8, got {arr.dtype}")
+    if arr.ndim == 2:
+        color_type, channels = 0, 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color_type, channels = 2, 3
+    else:
+        raise ValueError(f"encode_png wants (h,w) or (h,w,3), got {arr.shape}")
+    h, w = arr.shape[0], arr.shape[1]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    flat = arr.reshape(h, w * channels)
+    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Baseline PNG bytes → uint8 array (h, w) or (h, w, 3). Supports bit
+    depth 8, color types 0/2, no interlace; all five scanline filters."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = None
+    color_type = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or color_type not in (0, 2) or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} color={color_type} "
+                    f"interlace={interlace} (supported: 8-bit grey/RGB baseline)"
+                )
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    channels = 1 if color_type == 0 else 3
+    stride = width * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line.astype(np.uint16) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            cur = line
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                cur[x] = (cur[x] + _paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = cur
+        prev = out[y]
+    if channels == 1:
+        return out
+    return out.reshape(height, width, 3)
+
+
+def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of (h, w[, c]) — index-mapped, no loops."""
+    h, w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return arr[rows][:, cols]
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 array (n,) mono or (n, 2) stereo → RIFF/WAVE PCM bytes."""
+    if samples.dtype != np.int16:
+        raise ValueError(f"encode_wav wants int16, got {samples.dtype}")
+    channels = 1 if samples.ndim == 1 else samples.shape[1]
+    payload = samples.tobytes()  # numpy default little-endian on this arch
+    byte_rate = rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate, channels * 2, 16)
+    data_hdr = b"data" + struct.pack("<I", len(payload))
+    riff_len = 4 + (8 + len(fmt)) + (8 + len(payload))
+    return (
+        b"RIFF"
+        + struct.pack("<I", riff_len)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + data_hdr
+        + payload
+    )
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM-16 bytes → (int16 array [n] or [n,2], sample_rate)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    rate = channels = None
+    samples = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", payload[:16]
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV: fmt={audio_fmt} bits={bits} "
+                    "(supported: PCM 16-bit)"
+                )
+        elif tag == b"data":
+            samples = np.frombuffer(payload, dtype="<i2")
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if channels and channels > 1:
+        samples = samples.reshape(-1, channels)
+    return samples.astype(np.int16, copy=False), rate

@@ -39,6 +39,7 @@ from etl_caic_spark.plans import graphq  # noqa: F401,E402
 from etl_caic_spark.plans import scaleq  # noqa: F401,E402
 from etl_caic_spark.plans import curationq  # noqa: F401,E402
 from etl_caic_spark.plans import featuresq  # noqa: F401,E402
+from etl_caic_spark.plans import multimodalq2  # noqa: F401,E402
 
 # Round-2 driver window (positions 0..49). Families with no driver row yet
 # come first; the last slots are stable core representatives (canaries).

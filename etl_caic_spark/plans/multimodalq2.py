@@ -1,0 +1,188 @@
+"""REAL-codec multimodal queries: payloads are genuine PNG / WAV bytes
+(operators/codecs.py — pure stdlib zlib/struct, no PIL/soundfile needed),
+and the pipeline decodes them back before computing features.
+
+The trick that keeps these fully ORACLED despite DuckDB having no image
+codec: pixel/sample values are a closed-form integer function of doc_id,
+so the oracle computes the expected features directly, while the Spark
+path routes the same values through encode→decode inside mapInPandas.
+The hash-match therefore PROVES the codec roundtrip is bit-lossless —
+a corrupted scanline filter, a dropped chunk, or a byte-order slip would
+change the decoded sums and fail the oracle.
+
+Scale: one Arrow-batched mapInPandas over the documents scan, payload
+and features computed partition-parallel; no shuffle at all (Exchangex0),
+no driver involvement — the codec cost rides inside the existing scan
+pipeline exactly like the fake-codec path (multimodalq.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_caic_spark.registry import register
+from etl_caic_spark.sources import load_table
+
+_PNG_OUT = (
+    "doc_id bigint, width int, height int, n_pixels bigint, "
+    "pixel_sum bigint, pixel_min int, pixel_max int, resized_sum bigint"
+)
+_WAV_OUT = (
+    "doc_id bigint, n_samples int, sample_sum bigint, "
+    "sample_min int, sample_max int"
+)
+
+
+def _png_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from etl_caic_spark.operators.codecs import (
+        decode_png,
+        encode_png,
+        resize_nearest,
+    )
+
+    for pdf in it:
+        rows = []
+        for d in pdf["doc_id"].astype("int64"):
+            d = int(d)
+            w, h = d % 24 + 8, d % 16 + 8
+            i = np.arange(w * h, dtype=np.int64)
+            px = ((d * 2654435761 + i * 1103515245 + 12345) % 256).astype(
+                np.uint8
+            )
+            img = px.reshape(h, w)
+            decoded = decode_png(encode_png(img))  # the real byte roundtrip
+            small = resize_nearest(decoded, 16, 16)
+            rows.append(
+                (
+                    d,
+                    decoded.shape[1],
+                    decoded.shape[0],
+                    decoded.size,
+                    int(decoded.astype(np.int64).sum()),
+                    int(decoded.min()),
+                    int(decoded.max()),
+                    int(small.astype(np.int64).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "width",
+                "height",
+                "n_pixels",
+                "pixel_sum",
+                "pixel_min",
+                "pixel_max",
+                "resized_sum",
+            ],
+        )
+
+
+@register(
+    "multimodal_png_codec",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             (doc_id * 2654435761 + i * 1103515245 + 12345) % 256 AS p
+      FROM dims, LATERAL (SELECT unnest(generate_series(0, w*h - 1)) AS i) g
+    ),
+    agg AS (
+      SELECT doc_id, CAST(min(w) AS INT) AS width, CAST(min(h) AS INT) AS height,
+             CAST(count(*) AS BIGINT) AS n_pixels,
+             CAST(sum(p) AS BIGINT) AS pixel_sum,
+             CAST(min(p) AS INT) AS pixel_min, CAST(max(p) AS INT) AS pixel_max
+      FROM px GROUP BY doc_id
+    ),
+    rs AS (
+      SELECT d.doc_id,
+             CAST(sum((d.doc_id * 2654435761
+                       + (((r.r * d.h) // 16) * d.w + ((c.c * d.w) // 16))
+                         * 1103515245 + 12345) % 256) AS BIGINT) AS resized_sum
+      FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, 15)) AS r) r,
+           LATERAL (SELECT unnest(generate_series(0, 15)) AS c) c
+      GROUP BY d.doc_id
+    )
+    SELECT agg.*, rs.resized_sum FROM agg JOIN rs USING (doc_id)
+    """,
+    tags=("multimodal", "codec", "udf"),
+)
+def multimodal_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG pipeline: per document, synthesize a greyscale image from
+    the closed-form pixel function, ENCODE it to genuine PNG bytes, DECODE
+    the bytes back (operators/codecs.py — all five scanline filters
+    supported), nearest-neighbor resize to 16×16, and emit integer pixel
+    features. The oracle computes the same features straight from the
+    closed form — equality proves the PNG roundtrip is lossless."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_png_batches, _PNG_OUT)
+
+
+def _wav_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from etl_caic_spark.operators.codecs import decode_wav, encode_wav
+
+    for pdf in it:
+        rows = []
+        for d in pdf["doc_id"].astype("int64"):
+            d = int(d)
+            n = d % 400 + 100
+            i = np.arange(n, dtype=np.int64)
+            s = (((d * 31 + i * i * 7) % 65536) - 32768).astype(np.int16)
+            decoded, rate = decode_wav(encode_wav(s, rate=16000))
+            assert rate == 16000
+            rows.append(
+                (
+                    d,
+                    decoded.shape[0],
+                    int(decoded.astype(np.int64).sum()),
+                    int(decoded.min()),
+                    int(decoded.max()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "n_samples",
+                "sample_sum",
+                "sample_min",
+                "sample_max",
+            ],
+        )
+
+
+@register(
+    "multimodal_wav_codec",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 400 + 100 AS n FROM documents
+    ),
+    smp AS (
+      SELECT doc_id, ((doc_id * 31 + i * i * 7) % 65536) - 32768 AS s
+      FROM dims, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_samples,
+           CAST(sum(s) AS BIGINT) AS sample_sum,
+           CAST(min(s) AS INT) AS sample_min, CAST(max(s) AS INT) AS sample_max
+    FROM smp GROUP BY doc_id
+    """,
+    tags=("multimodal", "codec", "udf"),
+)
+def multimodal_wav_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV pipeline: per document, synthesize PCM-16 samples from the
+    closed-form function, encode to genuine RIFF/WAVE bytes, decode back
+    (operators/codecs.py), and emit integer sample features. Oracle
+    computes the same features from the closed form — equality proves the
+    WAV roundtrip is lossless."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_wav_batches, _WAV_OUT)

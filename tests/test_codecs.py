@@ -1,0 +1,127 @@
+"""Exact roundtrip verification for the pure-stdlib PNG/WAV codecs —
+the verification path for the rows-only multimodal codec queries
+(encode→decode must reproduce the array bit-for-bit)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from etl_caic_spark.operators.codecs import (
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    resize_nearest,
+)
+
+
+def _rng(seed):
+    return np.random.RandomState(seed)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (7, 3), (16, 16), (5, 31)])
+def test_png_roundtrip_grey(shape):
+    a = _rng(1).randint(0, 256, size=shape).astype(np.uint8)
+    out = decode_png(encode_png(a))
+    assert out.shape == a.shape and (out == a).all()
+
+
+@pytest.mark.parametrize("shape", [(1, 1, 3), (9, 4, 3), (16, 16, 3)])
+def test_png_roundtrip_rgb(shape):
+    a = _rng(2).randint(0, 256, size=shape).astype(np.uint8)
+    out = decode_png(encode_png(a))
+    assert out.shape == a.shape and (out == a).all()
+
+
+def _forward_filter(img: np.ndarray, ftype: int) -> bytes:
+    """Apply a PNG filter to every scanline (the encoder-side transform our
+    decoder must invert)."""
+    h, w = img.shape[0], img.shape[1]
+    channels = 1 if img.ndim == 2 else img.shape[2]
+    bpp = channels
+    flat = img.reshape(h, w * channels).astype(np.int32)
+    stride = w * channels
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        line = np.empty(stride, dtype=np.int32)
+        for x in range(stride):
+            left = cur[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:  # Paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            line[x] = (cur[x] - pred) & 0xFF
+        out += bytes([ftype]) + bytes(line.astype(np.uint8).tobytes())
+        prev = cur
+    return bytes(out)
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 3])
+def test_png_decoder_inverts_every_filter(ftype, channels):
+    shape = (6, 5) if channels == 1 else (6, 5, 3)
+    img = _rng(10 + ftype).randint(0, 256, size=shape).astype(np.uint8)
+    h, w = img.shape[0], img.shape[1]
+    color_type = 0 if channels == 1 else 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(_forward_filter(img, ftype)))
+        + _chunk(b"IEND", b"")
+    )
+    out = decode_png(png)
+    assert out.shape == img.shape and (out == img).all()
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JUNKJUNKJUNK")
+    with pytest.raises(ValueError, match="uint8"):
+        encode_png(np.zeros((2, 2), dtype=np.float64))
+
+
+def test_resize_nearest_exact_factors():
+    a = _rng(3).randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    half = resize_nearest(a, 4, 4)
+    assert half.shape == (4, 4, 3)
+    assert (half == a[::2, ::2]).all()
+    up = resize_nearest(a, 16, 16)
+    assert up.shape == (16, 16, 3)
+    assert (up[::2, ::2] == a).all()
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+def test_wav_roundtrip(channels):
+    n = 500
+    shape = (n,) if channels == 1 else (n, 2)
+    s = _rng(4).randint(-(2**15), 2**15, size=shape).astype(np.int16)
+    out, rate = decode_wav(encode_wav(s, rate=16000))
+    assert rate == 16000
+    assert out.shape == s.shape and (out == s).all()
+
+
+def test_wav_rejects_unsupported():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"nope" * 10)
