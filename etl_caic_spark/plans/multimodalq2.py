@@ -186,3 +186,90 @@ def multimodal_wav_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     WAV roundtrip is lossless."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_wav_batches, _WAV_OUT)
+
+
+_FRAMES_OUT = (
+    "doc_id bigint, frame int, width int, height int, frame_sum bigint"
+)
+
+
+def _frame_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from etl_caic_spark.operators.codecs import decode_png, encode_png
+
+    for pdf in it:
+        rows = []
+        for d in pdf["doc_id"].astype("int64"):
+            d = int(d)
+            n_frames = d % 4 + 2
+            w, h = d % 12 + 8, d % 8 + 8
+            # The "video": one binary blob of n concatenated PNG frames —
+            # encoded for real, then split & decoded for real.
+            frames = []
+            for f in range(n_frames):
+                i = np.arange(w * h, dtype=np.int64)
+                px = (
+                    (d * 2654435761 + f * 97 + i * 1103515245 + 12345) % 256
+                ).astype(np.uint8)
+                frames.append(encode_png(px.reshape(h, w)))
+            blob = b"".join(frames)
+            # Frame boundaries are recovered from the container itself:
+            # each PNG starts with the 8-byte signature.
+            sig = b"\x89PNG\r\n\x1a\n"
+            starts = []
+            off = 0
+            while True:
+                k = blob.find(sig, off)
+                if k < 0:
+                    break
+                starts.append(k)
+                off = k + 8
+            starts.append(len(blob))
+            for f in range(len(starts) - 1):
+                decoded = decode_png(blob[starts[f] : starts[f + 1]])
+                rows.append(
+                    (
+                        d,
+                        f,
+                        decoded.shape[1],
+                        decoded.shape[0],
+                        int(decoded.astype(np.int64).sum()),
+                    )
+                )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame", "width", "height", "frame_sum"]
+        )
+
+
+@register(
+    "multimodal_png_frames",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 4 + 2 AS nf,
+             doc_id % 12 + 8 AS w, doc_id % 8 + 8 AS h
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, w, h, f
+      FROM dims, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) g
+    ),
+    px AS (
+      SELECT doc_id, w, h, f,
+             (doc_id * 2654435761 + f * 97 + i * 1103515245 + 12345) % 256 AS p
+      FROM fr, LATERAL (SELECT unnest(generate_series(0, w*h - 1)) AS i) g2
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame, CAST(min(w) AS INT) AS width,
+           CAST(min(h) AS INT) AS height, CAST(sum(p) AS BIGINT) AS frame_sum
+    FROM px GROUP BY doc_id, f
+    """,
+    tags=("multimodal", "codec", "udf", "frames"),
+)
+def multimodal_png_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over REAL bytes: per document, a 'video' blob of 2-5
+    concatenated genuine PNG frames is encoded, then split back on the PNG
+    signature and each frame decoded (operators/codecs.py) to per-frame
+    pixel features — the decode/frame-sample shape of a video pipeline
+    with an actual binary container instead of a fake. Closed-form pixels
+    keep it oracle-checkable: equality proves every frame of every blob
+    survived the container roundtrip bit-exactly."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_frame_batches, _FRAMES_OUT)
