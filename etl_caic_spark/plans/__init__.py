@@ -41,8 +41,12 @@ from etl_caic_spark.plans import curationq  # noqa: F401,E402
 from etl_caic_spark.plans import featuresq  # noqa: F401,E402
 from etl_caic_spark.plans import multimodalq2  # noqa: F401,E402
 
-# Round-2 driver window (positions 0..49). Families with no driver row yet
-# come first; the last slots are stable core representatives (canaries).
+# Driver window (positions 0..49). Families with no driver row yet come
+# first; the last slots are stable core representatives (canaries).
+# Round-4 edit: the new real-codec and runtime-bloom queries take the
+# slots of three sink roundtrips + fuzzy dedup (driver-green since r02,
+# untouched since); every events-rooted query that was red in r03 stays
+# in the window so CORRECTNESS_r04 re-verifies the loader fix.
 _DRIVER_WINDOW = [
     # array-output queries re-worked this round to emit scalar cells
     "fn_array",
@@ -79,20 +83,20 @@ _DRIVER_WINDOW = [
     "stream_static_join",
     # flagship
     "caic_pipeline",
-    # multimodal plumbing
+    # multimodal plumbing + round-4 REAL codecs
     "multimodal_meta",
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_audio",
-    # sink roundtrips
+    "multimodal_png_codec",
+    "multimodal_wav_codec",
+    "multimodal_png_frames",
+    # round-4 runtime-filter join + sink representative
+    "join_runtime_bloom",
     "sink_file_roundtrip",
-    "sink_csv_roundtrip",
-    "sink_jsonl_roundtrip",
-    "sink_orc_roundtrip",
     # remaining dedup / sampling / pipeline ops without a driver row
     "dedup_embedding_cosine",
     "dedup_groups",
-    "dedup_fuzzy_levenshtein",
     "train_test_split",
     "sample_fraction",
     "sample_stratified",
