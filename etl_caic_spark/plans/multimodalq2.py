@@ -50,11 +50,14 @@ def _png_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for d in pdf["doc_id"].astype("int64"):
             d = int(d)
             w, h = d % 24 + 8, d % 16 + 8
-            i = np.arange(w * h, dtype=np.int64)
+            # Even doc_ids are greyscale, odd are RGB — both supported
+            # color types go through the real roundtrip.
+            ch = 1 if d % 2 == 0 else 3
+            i = np.arange(w * h * ch, dtype=np.int64)
             px = ((d * 2654435761 + i * 1103515245 + 12345) % 256).astype(
                 np.uint8
             )
-            img = px.reshape(h, w)
+            img = px.reshape(h, w) if ch == 1 else px.reshape(h, w, 3)
             decoded = decode_png(encode_png(img))  # the real byte roundtrip
             small = resize_nearest(decoded, 16, 16)
             rows.append(
@@ -88,13 +91,15 @@ def _png_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "multimodal_png_codec",
     oracle="""
     WITH dims AS (
-      SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+      SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
       FROM documents
     ),
     px AS (
       SELECT doc_id, w, h,
              (doc_id * 2654435761 + i * 1103515245 + 12345) % 256 AS p
-      FROM dims, LATERAL (SELECT unnest(generate_series(0, w*h - 1)) AS i) g
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w*h*ch - 1)) AS i) g
     ),
     agg AS (
       SELECT doc_id, CAST(min(w) AS INT) AS width, CAST(min(h) AS INT) AS height,
@@ -106,11 +111,13 @@ def _png_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     rs AS (
       SELECT d.doc_id,
              CAST(sum((d.doc_id * 2654435761
-                       + (((r.r * d.h) // 16) * d.w + ((c.c * d.w) // 16))
+                       + ((((r.r * d.h) // 16) * d.w + ((c.c * d.w) // 16))
+                          * d.ch + k.k)
                          * 1103515245 + 12345) % 256) AS BIGINT) AS resized_sum
       FROM dims d,
            LATERAL (SELECT unnest(generate_series(0, 15)) AS r) r,
-           LATERAL (SELECT unnest(generate_series(0, 15)) AS c) c
+           LATERAL (SELECT unnest(generate_series(0, 15)) AS c) c,
+           LATERAL (SELECT unnest(generate_series(0, d.ch - 1)) AS k) k
       GROUP BY d.doc_id
     )
     SELECT agg.*, rs.resized_sum FROM agg JOIN rs USING (doc_id)
@@ -118,8 +125,9 @@ def _png_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     tags=("multimodal", "codec", "udf"),
 )
 def multimodal_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real PNG pipeline: per document, synthesize a greyscale image from
-    the closed-form pixel function, ENCODE it to genuine PNG bytes, DECODE
+    """Real PNG pipeline: per document, synthesize an image from the
+    closed-form pixel function (even doc_ids greyscale, odd RGB — both
+    supported color types), ENCODE it to genuine PNG bytes, DECODE
     the bytes back (operators/codecs.py — all five scanline filters
     supported), nearest-neighbor resize to 16×16, and emit integer pixel
     features. The oracle computes the same features straight from the
@@ -136,8 +144,13 @@ def _wav_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for d in pdf["doc_id"].astype("int64"):
             d = int(d)
             n = d % 400 + 100
-            i = np.arange(n, dtype=np.int64)
+            # Even doc_ids mono, odd stereo (interleaved) — both supported
+            # channel layouts go through the real roundtrip.
+            ch = 1 if d % 2 == 0 else 2
+            i = np.arange(n * ch, dtype=np.int64)
             s = (((d * 31 + i * i * 7) % 65536) - 32768).astype(np.int16)
+            if ch == 2:
+                s = s.reshape(n, 2)
             decoded, rate = decode_wav(encode_wav(s, rate=16000))
             assert rate == 16000
             rows.append(
@@ -165,13 +178,16 @@ def _wav_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "multimodal_wav_codec",
     oracle="""
     WITH dims AS (
-      SELECT doc_id, doc_id % 400 + 100 AS n FROM documents
+      SELECT doc_id, doc_id % 400 + 100 AS n,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS ch
+      FROM documents
     ),
     smp AS (
-      SELECT doc_id, ((doc_id * 31 + i * i * 7) % 65536) - 32768 AS s
-      FROM dims, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g
+      SELECT doc_id, n, ((doc_id * 31 + i * i * 7) % 65536) - 32768 AS s
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, n*ch - 1)) AS i) g
     )
-    SELECT doc_id, CAST(count(*) AS INT) AS n_samples,
+    SELECT doc_id, CAST(min(n) AS INT) AS n_samples,
            CAST(sum(s) AS BIGINT) AS sample_sum,
            CAST(min(s) AS INT) AS sample_min, CAST(max(s) AS INT) AS sample_max
     FROM smp GROUP BY doc_id
@@ -179,8 +195,9 @@ def _wav_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     tags=("multimodal", "codec", "udf"),
 )
 def multimodal_wav_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real WAV pipeline: per document, synthesize PCM-16 samples from the
-    closed-form function, encode to genuine RIFF/WAVE bytes, decode back
+    """Real WAV pipeline: per document, synthesize PCM-16 samples from
+    the closed-form function (even doc_ids mono, odd interleaved stereo),
+    encode to genuine RIFF/WAVE bytes, decode back
     (operators/codecs.py), and emit integer sample features. Oracle
     computes the same features from the closed form — equality proves the
     WAV roundtrip is lossless."""
