@@ -257,3 +257,44 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@register(
+    "join_shuffle_hash",
+    oracle="""
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(CAST(sum(CAST(round(s.s_acctbal * 100) AS BIGINT))
+                      AS BIGINT) / 100.0, 2) AS total_bal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+    tags=("join", "scale", "hint"),
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hinted shuffled-hash join: when the build side is too big to
+    broadcast but small enough to hash per partition, SHJ skips the sort
+    both SMJ children pay — at 100 TB that's the strategy for
+    medium-dim ⋈ fact shapes where sorting the fact side dominates. The
+    SHUFFLE_HASH hint pins the strategy and the plan is asserted, so a
+    future Catalyst change that silently falls back to SMJ fails loudly
+    here instead of costing a sort at scale. Balance sum rides as integer
+    cents (exact); the plain-join oracle pins result equality."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").hint("shuffle_hash")
+    out = (
+        s.join(n, s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.round(
+                F.sum(F.round(F.col("s_acctbal") * 100, 0)) / 100.0, 2
+            ).alias("total_bal"),
+        )
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "ShuffledHashJoin" not in plan:
+        raise AssertionError(
+            "SHUFFLE_HASH hint did not produce a ShuffledHashJoin "
+            "(plan fell back to another strategy)"
+        )
+    return out
