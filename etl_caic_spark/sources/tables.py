@@ -53,18 +53,20 @@ def events_ts_physical_type(path: str):
 
 @lru_cache(maxsize=64)
 def _sniff_ts(path: str):
-    import glob
-
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    p = path
-    if os.path.isdir(p):
-        # Multi-file dataset: all parts share a schema; sniff the first.
-        p = sorted(glob.glob(os.path.join(p, "*.parquet")))[0]
+    p = _first_part_file(path)
     t = pq.read_schema(p).field("ts").type
     if pa.types.is_timestamp(t):
-        return "timestamp"
+        if t.unit == "ns":
+            # Spark's parquet reader rejects TIMESTAMP(NANOS); under
+            # spark.sql.legacy.parquet.nanosAsLong it surfaces as LongType,
+            # so annotated nanos take the same branch as unannotated INT64.
+            return "int_nanos"
+        # tz-aware (isAdjustedToUTC) micros/millis read as TimestampType;
+        # no-tz read as TIMESTAMP_NTZ — the stream schema must match.
+        return "timestamp_tz" if t.tz is not None else "timestamp"
     if pa.types.is_integer(t):
         return "int_nanos"
     raise TypeError(
@@ -72,6 +74,26 @@ def _sniff_ts(path: str):
         "expected a timestamp or int64-nanos column "
         "(update etl_caic_spark/sources/tables.py if the fixture changed)"
     )
+
+
+def _first_part_file(path: str) -> str:
+    """Resolve a dataset path to one part file for footer sniffing.
+
+    All parts share a schema, so any one footer is authoritative. Recurses so
+    hive-partitioned layouts (subdirectories) work, and fails loudly on an
+    empty dataset instead of raising a bare IndexError.
+    """
+    import glob
+
+    if not os.path.isdir(path):
+        return path
+    parts = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    if not parts:
+        raise FileNotFoundError(
+            f"no .parquet part files found under {path!r}; cannot sniff the "
+            "events.ts encoding (empty or non-parquet dataset)"
+        )
+    return parts[0]
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,13 +134,10 @@ def _assert_sane_ts_range(path: str, kind: str) -> None:
     a year in (1990, 2100). Catches unit mismatches (s vs ms vs µs vs ns)
     the moment the driver regenerates the fixture with a new encoding."""
     import datetime
-    import glob
 
     import pyarrow.parquet as pq
 
-    p = path
-    if os.path.isdir(p):
-        p = sorted(glob.glob(os.path.join(p, "*.parquet")))[0]
+    p = _first_part_file(path)
     md = pq.ParquetFile(p).metadata
     idx = md.schema.to_arrow_schema().get_field_index("ts")
     mins = []
@@ -129,10 +148,14 @@ def _assert_sane_ts_range(path: str, kind: str) -> None:
     if not mins:
         return  # no stats written; nothing cheap to check
     lo = min(mins)
-    if kind == "int_nanos":
+    if kind == "int_nanos" and isinstance(lo, int):
+        # Annotated TIMESTAMP(NANOS) stats already decode to datetime via
+        # pyarrow; raw INT64 stats arrive as ints and are interpreted as ns.
         lo = datetime.datetime(1970, 1, 1) + datetime.timedelta(
             microseconds=lo // 1000
         )
+    if getattr(lo, "tzinfo", None) is not None:
+        lo = lo.replace(tzinfo=None)
     if not (1990 < lo.year < 2100):
         raise ValueError(
             f"events.ts sanity check failed: min(ts) decodes to {lo!r} "

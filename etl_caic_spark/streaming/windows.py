@@ -54,9 +54,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind = events_ts_physical_type(path)
     _assert_sane_ts_range(path, kind)
     if kind == "int_nanos":
-        # Parquet TIMESTAMP(NANOS) arrives as raw INT64 under the flag.
+        # Parquet TIMESTAMP(NANOS) — annotated or raw INT64 — arrives as a
+        # long under the flag (Spark's reader rejects nanos otherwise).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = _events_stream_schema(T.LongType())
+    elif kind == "timestamp_tz":
+        # tz-aware (isAdjustedToUTC) micros/millis surface as TimestampType.
+        schema = _events_stream_schema(T.TimestampType())
     else:
         # No-tz parquet timestamps surface as TIMESTAMP_NTZ.
         schema = _events_stream_schema(T.TimestampNTZType())

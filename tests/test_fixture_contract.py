@@ -111,6 +111,80 @@ def test_events_ts_decodes_to_sane_epoch():
     )
 
 
+def test_sniff_routes_annotated_nanos_to_int_branch(tmp_path):
+    """Parquet TIMESTAMP(NANOS) must take the int_nanos branch: Spark's
+    vectorized reader rejects annotated nanos, and under nanosAsLong they
+    surface as LongType — the plain-read branch would throw at load."""
+    from etl_caic_spark.sources.tables import _sniff_ts
+
+    f = tmp_path / "events.parquet"
+    tbl = pa.table(
+        {"ts": pa.array([1_700_000_000_000_000_000], pa.timestamp("ns"))}
+    )
+    pq.write_table(tbl, f, coerce_timestamps=None)
+    assert _sniff_ts(str(f)) == "int_nanos"
+
+
+def test_sniff_distinguishes_tz_aware_micros(tmp_path):
+    """tz-aware (isAdjustedToUTC) micros read as TimestampType in batch; the
+    stream schema must declare the same type, so the sniffer reports it."""
+    from etl_caic_spark.sources.tables import _sniff_ts
+
+    f_tz = tmp_path / "events_tz.parquet"
+    pq.write_table(
+        pa.table({"ts": pa.array([1_700_000_000_000_000], pa.timestamp("us", tz="UTC"))}),
+        f_tz,
+    )
+    assert _sniff_ts(str(f_tz)) == "timestamp_tz"
+
+    f_ntz = tmp_path / "events_ntz.parquet"
+    pq.write_table(
+        pa.table({"ts": pa.array([1_700_000_000_000_000], pa.timestamp("us"))}),
+        f_ntz,
+    )
+    assert _sniff_ts(str(f_ntz)) == "timestamp"
+
+
+def test_sniff_empty_dataset_fails_loudly(tmp_path):
+    from etl_caic_spark.sources.tables import _sniff_ts
+
+    empty = tmp_path / "events.parquet"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="no .parquet part files"):
+        _sniff_ts(str(empty))
+
+
+def test_load_events_reads_annotated_nanos(tmp_path, spark):
+    """End-to-end: an annotated TIMESTAMP(NANOS) events fixture must load
+    through _load_events (nanosAsLong branch) and decode to µs timestamps —
+    the round-1 encoding the loader docstrings claim to handle."""
+    import shutil
+
+    from etl_caic_spark.sources.tables import load_table
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    ns = pa.timestamp("ns")
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [1_700_000_000_123_456_789, 1_700_003_600_000_000_000], ns
+            ),
+            "user_id": pa.array([10, 20], pa.int64()),
+            "event_type": pa.array(["click", "view"], pa.string()),
+            "value": pa.array([1.5, 2.5], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, sf / "events.parquet", coerce_timestamps=None)
+    rows = load_table(spark, str(sf), "events").orderBy("event_id").collect()
+    assert [r.event_id for r in rows] == [1, 2]
+    # ns → µs truncation (DIV 1000), matching DuckDB TIMESTAMP_NS → TIMESTAMP
+    assert rows[0].ts == datetime.datetime(2023, 11, 14, 22, 13, 20, 123456)
+    assert rows[1].ts == datetime.datetime(2023, 11, 14, 23, 13, 20)
+
+
 def test_loader_rejects_insane_ts(tmp_path):
     """The loader-side guard itself must throw on a wrong-unit file (e.g.
     seconds stored where the nanos branch would decode them as ~1970)."""
