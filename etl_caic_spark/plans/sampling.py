@@ -13,26 +13,83 @@ from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 
 
-@register("sample_fraction", oracle=None, tags=("sampling",))
+@register(
+    "sample_fraction",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                     || CAST(l_linenumber AS VARCHAR)), 1, 4) < '199a'
+    """,
+    tags=("sampling",),
+)
 def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample (10%) of lineitem — partition-parallel,
-    no shuffle; same seed → same rows (pytest pins determinism and
-    fraction tolerance). Spark's sampler RNG is engine-specific → no SQL
-    oracle."""
+    """~10% Bernoulli sample of lineitem via key-hash banding: keep a row
+    iff the first 4 hex chars of md5(l_orderkey-l_linenumber) fall below
+    0x199a (6554/65536 = 10.0006%). Partition-parallel, no shuffle, and —
+    unlike ``df.sample()``, whose RNG stream is engine- and
+    partition-layout-specific — exactly reproducible by any engine, so the
+    DuckDB oracle matches row-for-row. This is the production sampling
+    recipe for training corpora: re-runs, backfills, and other engines all
+    agree on the sampled set."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select(
+    tag = F.substring(
+        F.md5(
+            F.concat_ws(
+                "-",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        1,
+        4,
+    )
+    return li.where(tag < "199a").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
 
 
-@register("sample_stratified", oracle=None, tags=("sampling",))
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                     || CAST(l_linenumber AS VARCHAR)), 1, 4)
+          < CASE l_returnflag WHEN 'A' THEN '0ccd'
+                              WHEN 'N' THEN '3333'
+                              WHEN 'R' THEN '0ccd'
+                              ELSE '0000' END
+    """,
+    tags=("sampling",),
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sample: different fraction per l_returnflag stratum
-    (sampleBy) — the class-rebalancing primitive."""
+    """Stratified sample with a per-stratum rate (A: 5%, N: 20%, R: 5%) —
+    the class-rebalancing primitive — via the same md5-of-key banding as
+    ``sample_fraction``, with the band threshold chosen per l_returnflag
+    (0x0ccd = 5.0003%, 0x3333 = 19.9997%). Exactly reproducible across
+    engines and partitionings, unlike ``sampleBy``'s RNG."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.sampleBy(
-        "l_returnflag", fractions={"A": 0.05, "N": 0.2, "R": 0.05}, seed=42
-    ).select("l_orderkey", "l_linenumber", "l_returnflag")
+    tag = F.substring(
+        F.md5(
+            F.concat_ws(
+                "-",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        1,
+        4,
+    )
+    thr = (
+        F.when(F.col("l_returnflag") == "A", "0ccd")
+        .when(F.col("l_returnflag") == "N", "3333")
+        .when(F.col("l_returnflag") == "R", "0ccd")
+        .otherwise("0000")
+    )
+    return li.where(tag < thr).select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
 
 
 @register(
