@@ -16,6 +16,7 @@ Generation spec highlights:
 from __future__ import annotations
 
 import json
+import os
 import random
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,7 +41,10 @@ def _ring(rng: random.Random, cx: float, cy: float) -> list[list[float]]:
     return pts
 
 
-def generate_areas(spark: SparkSession, n: int = 60, seed: int = 42) -> DataFrame:
+def area_rows(n: int = 60, seed: int = 42) -> list[tuple]:
+    """Pure-Python area fixture rows (no Spark) — shared by the Spark
+    generator and the parquet materializer so both engines see the SAME
+    bytes."""
     rng = random.Random(seed)
     rows = []
     pos = 0
@@ -76,12 +80,17 @@ def generate_areas(spark: SparkSession, n: int = 60, seed: int = 42) -> DataFram
                 )
             )
             pos += 1
-    return spark.createDataFrame(rows, AREAS_SCHEMA)
+    return rows
 
 
-def generate_forecasts(
-    spark: SparkSession, n_areas: int = 60, per_area: float = 2.0, seed: int = 43
-) -> DataFrame:
+def generate_areas(spark: SparkSession, n: int = 60, seed: int = 42) -> DataFrame:
+    return spark.createDataFrame(area_rows(n, seed), AREAS_SCHEMA)
+
+
+def forecast_rows(
+    n_areas: int = 60, per_area: float = 2.0, seed: int = 43
+) -> list[tuple]:
+    """Pure-Python forecast fixture rows (no Spark)."""
     rng = random.Random(seed)
     rows = []
     pid = 0
@@ -129,4 +138,79 @@ def generate_forecasts(
             )
         )
         pid += 1
-    return spark.createDataFrame(rows, FORECASTS_SCHEMA)
+    return rows
+
+
+def generate_forecasts(
+    spark: SparkSession, n_areas: int = 60, per_area: float = 2.0, seed: int = 43
+) -> DataFrame:
+    return spark.createDataFrame(
+        forecast_rows(n_areas, per_area, seed), FORECASTS_SCHEMA
+    )
+
+
+#: Fixed, version-tagged fixture dataset paths — bump the tag when the
+#: generation spec changes so stale files can never shadow new semantics.
+CAIC_FIXTURE_TAG = "caic_fixtures_v1"
+
+
+def caic_fixture_paths() -> tuple[str, str]:
+    from etl_caic_spark.util import scratch_path
+
+    base = scratch_path(CAIC_FIXTURE_TAG)
+    return os.path.join(base, "areas.parquet"), os.path.join(
+        base, "forecasts.parquet"
+    )
+
+
+def ensure_caic_fixture_parquet() -> tuple[str, str]:
+    """Materialize the deterministic fixtures as parquet (pyarrow, no Spark)
+    so the DuckDB oracle and the Spark query read the SAME files — this is
+    what upgrades caic_pipeline from rows-only to a full hash-matched
+    driver check. Idempotent; atomic via tmp+rename so a concurrent oracle
+    run never sees a half-written file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    areas_path, forecasts_path = caic_fixture_paths()
+    base = os.path.dirname(areas_path)
+    if os.path.exists(areas_path) and os.path.exists(forecasts_path):
+        return areas_path, forecasts_path
+    os.makedirs(base, exist_ok=True)
+
+    a_cols = list(zip(*area_rows()))
+    areas = pa.table(
+        {
+            "area_id": pa.array(a_cols[0], pa.string()),
+            "_pos": pa.array(a_cols[1], pa.int32()),
+            "geometry_type": pa.array(a_cols[2], pa.string()),
+            "geometry_json": pa.array(a_cols[3], pa.string()),
+            "properties_json": pa.array(a_cols[4], pa.string()),
+        }
+    )
+    f_cols = list(zip(*forecast_rows()))
+    summary_t = pa.list_(
+        pa.struct([("date", pa.string()), ("content", pa.string())])
+    )
+    rating_t = pa.list_(
+        pa.struct([("alp", pa.string()), ("tln", pa.string()), ("btl", pa.string())])
+    )
+    forecasts = pa.table(
+        {
+            "product_id": pa.array(f_cols[0], pa.string()),
+            "type": pa.array(f_cols[1], pa.string()),
+            "area_id": pa.array(f_cols[2], pa.string()),
+            "public_name": pa.array(f_cols[3], pa.string()),
+            "forecaster": pa.array(f_cols[4], pa.string()),
+            "issue_date_time": pa.array(f_cols[5], pa.string()),
+            "expiry_date_time": pa.array(f_cols[6], pa.string()),
+            "is_translated": pa.array(f_cols[7], pa.bool_()),
+            "summary_days": pa.array(f_cols[8], summary_t),
+            "rating_days": pa.array(f_cols[9], rating_t),
+        }
+    )
+    for tbl, path in ((areas, areas_path), (forecasts, forecasts_path)):
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return areas_path, forecasts_path
