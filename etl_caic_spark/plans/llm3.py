@@ -14,11 +14,24 @@ from etl_caic_spark.sources import load_table
 @register(
     "sim_lsh_cosine",
     oracle="""
-    WITH q AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-             list_transform(CAST(embedding AS DOUBLE[]),
-                            x -> CAST(floor(x * 1e6) AS BIGINT)) AS qv
-      FROM embeddings
+    WITH src AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    twins AS (
+      SELECT vec_id + 100000 AS tid,
+             list_transform(generate_series(1, 64), i ->
+               CASE WHEN i - 1 = vec_id % 64 THEN -e[i] ELSE e[i] END) AS te
+      FROM src WHERE vec_id % 10 = 0
+    ),
+    corpus AS (
+      SELECT vec_id, e FROM src
+      UNION ALL
+      SELECT tid AS vec_id, te AS e FROM twins
+    ),
+    q AS (
+      SELECT vec_id, e,
+             list_transform(e, x -> CAST(floor(x * 1e6) AS BIGINT)) AS qv
+      FROM corpus
     ),
     bits AS (
       SELECT vec_id, p,
@@ -27,11 +40,11 @@ from etl_caic_spark.sources import load_table
                           % 2147483648 % 2048 >= 1024
                      THEN 1 ELSE -1 END) * qv[d+1])) >= 0
                   THEN 1 ELSE 0 END AS bit
-      FROM q, generate_series(0, 15) AS t(p)
+      FROM q, generate_series(0, 63) AS t(p)
     ),
     bv AS (
-      SELECT vec_id, p // 4 AS band,
-             CAST(sum(bit * (1 << (p % 4))) AS BIGINT) AS band_val
+      SELECT vec_id, p // 16 AS band,
+             CAST(sum(bit * (1 << (p % 16))) AS BIGINT) AS band_val
       FROM bits GROUP BY 1, 2
     ),
     cand AS (
@@ -49,7 +62,7 @@ from etl_caic_spark.sources import load_table
     JOIN q qb ON qb.vec_id = id_b
     WHERE round(list_inner_product(qa.e, qb.e)
                 / (sqrt(list_inner_product(qa.e, qa.e))
-                   * sqrt(list_inner_product(qb.e, qb.e))), 6) >= 0.3
+                   * sqrt(list_inner_product(qb.e, qb.e))), 6) >= 0.9
     """,
     tags=("similarity", "llm", "ann"),
 )
@@ -59,15 +72,42 @@ def sim_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole path is integer-deterministic (LCG hyperplanes + floor-quantized
     vectors), so unlike the xxhash-based MinHash/IVF paths the oracle
     reproduces bucket assignment EXACTLY — a hash-matched ANN query.
-    16 planes in 4 bands of 4, verified at cosine >= 0.3: the SMALL-SF
-    correctness anchor, priced for a few-hundred-vector corpus. The
-    operator DEFAULTS are the scale config (64 planes, 16-bit bands,
-    threshold 0.9) — 4-bit bands collide random pairs at 0.5^4 per band,
-    which the scale probe measured quadratic at 30x (operators/lsh.py
-    module docstring has the collision math)."""
+
+    Round 5: the registered config IS the scale config — the operator
+    defaults (64 planes, 16-bit bands, near-dup threshold 0.9), the exact
+    setup the 1×/10×/30× scale probe measures linear. The old 16-plane /
+    4-bit-band config (random-collision rate 0.5^4 per band → measured
+    quadratic candidate growth) is demoted to a pytest-only anchor
+    (tests/test_round2_ops.py::test_lsh_pairs_subset_of_brute_force),
+    where its collision-richness is the point.
+
+    The synthetic embeddings are near-orthogonal random vectors (max pair
+    cosine ≈ 0.51 at sf0.01), so a 0.9-threshold query over the raw corpus
+    would be vacuously empty. The query therefore plants deterministic
+    near-dup twins — every 10th vector re-enters with ONE dimension
+    sign-flipped (id + 100000; cosine = 1 − 2·v_d²/‖v‖² ≈ 0.97, exact in
+    IEEE arithmetic on both engines) — so the banding + verify path is
+    exercised at its design threshold and the oracle hash-checks a
+    non-trivial result."""
     e = load_table(spark, sf_dir, "embeddings")
+    flip = F.col("vec_id") % 64
+    # Flip BEFORE re-idding: a `vec_id + 100000 AS vec_id` alias in the same
+    # select would capture the lambda's vec_id reference via lateral column
+    # alias resolution and flip the wrong dimension.
+    twins = (
+        e.where(F.col("vec_id") % 10 == 0)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == flip, -x).otherwise(x),
+            ).alias("embedding"),
+        )
+        .withColumn("vec_id", F.col("vec_id") + 100000)
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(twins)
     return L.lsh_cosine_pairs(
-        e, "vec_id", "embedding", threshold=0.3, planes=16, band_bits=4, dims=64
+        corpus, "vec_id", "embedding", threshold=0.9, planes=64, band_bits=16, dims=64
     )
 
 
