@@ -16,6 +16,9 @@ Supported subset (documented, asserted):
   ALL five PNG filters (None/Sub/Up/Average/Paeth) so externally produced
   baseline PNGs of these color types decode too.
 - WAV: PCM 16-bit little-endian, mono or interleaved stereo.
+- BMP: uncompressed (BI_RGB) 8-bit indexed (greyscale palette on encode,
+  arbitrary palette on decode) and 24-bit; bottom-up on encode, bottom-up
+  or top-down on decode; 4-byte row padding per spec.
 
 Scale: codecs are per-row NumPy kernels invoked inside Arrow-batched
 mapInPandas — partition-parallel, no driver involvement, payload bytes
@@ -113,25 +116,29 @@ def decode_png(data: bytes) -> np.ndarray:
         line = np.frombuffer(
             raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
         ).copy()
+        # Filter arithmetic is done in Python int (not uint8 scalars): the
+        # recurrences are modular by spec, and a uint8 add would wrap with a
+        # NumPy RuntimeWarning per pixel — noisy in executor logs and able to
+        # mask a real overflow bug. `& 0xFF` gives the intended mod-256.
         if ftype == 0:  # None
             cur = line
         elif ftype == 1:  # Sub
             cur = line
             for x in range(bpp, stride):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
         elif ftype == 2:  # Up
             cur = (line.astype(np.uint16) + prev).astype(np.uint8)
         elif ftype == 3:  # Average
             cur = line
             for x in range(stride):
-                left = cur[x - bpp] if x >= bpp else 0
-                cur[x] = (cur[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             cur = line
             for x in range(stride):
                 left = int(cur[x - bpp]) if x >= bpp else 0
                 ul = int(prev[x - bpp]) if x >= bpp else 0
-                cur[x] = (cur[x] + _paeth(left, int(prev[x]), ul)) & 0xFF
+                cur[x] = (int(cur[x]) + _paeth(left, int(prev[x]), ul)) & 0xFF
         else:
             raise ValueError(f"unknown PNG filter {ftype}")
         out[y] = cur
@@ -199,3 +206,97 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if channels and channels > 1:
         samples = samples.reshape(-1, channels)
     return samples.astype(np.int16, copy=False), rate
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """uint8 array (h, w) grey or (h, w, 3) RGB → Windows BMP bytes.
+
+    Grey encodes as 8-bit indexed with the identity greyscale palette;
+    RGB encodes as 24-bit BI_RGB. Pixel rows are stored bottom-up with
+    each row padded to a 4-byte boundary, per the BITMAPINFOHEADER spec.
+    """
+    if arr.dtype != np.uint8:
+        raise ValueError(f"encode_bmp wants uint8, got {arr.dtype}")
+    if arr.ndim == 2:
+        bits, channels = 8, 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        bits, channels = 24, 3
+    else:
+        raise ValueError(f"encode_bmp wants (h,w) or (h,w,3), got {arr.shape}")
+    h, w = arr.shape[0], arr.shape[1]
+    row_bytes = w * channels
+    pad = (-row_bytes) % 4
+    if channels == 3:
+        pix = arr[:, :, ::-1]  # RGB -> BGR storage order
+    else:
+        pix = arr
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += pix[y].tobytes() + b"\x00" * pad
+    palette = b""
+    if bits == 8:
+        # identity greyscale palette: BGRA quads
+        palette = b"".join(bytes((v, v, v, 0)) for v in range(256))
+    data_offset = 14 + 40 + len(palette)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, bits, 0, len(body), 2835, 2835,
+        256 if bits == 8 else 0, 0,
+    )
+    header = struct.pack(
+        "<2sIHHI", b"BM", data_offset + len(body), 0, 0, data_offset
+    )
+    return header + info + palette + bytes(body)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes → uint8 array (h, w) grey or (h, w, 3) RGB. Supports
+    uncompressed (BI_RGB) 8-bit-indexed and 24-bit files, bottom-up or
+    top-down row order."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP (bad signature)")
+    _sig, _size, _r1, _r2, data_offset = struct.unpack("<2sIHHI", data[:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    _hs, w, h, _planes, bits, comp, _isz, _xp, _yp, clr_used, _ci = struct.unpack(
+        "<IiiHHIIiiII", data[14:54]
+    )
+    if comp != 0 or bits not in (8, 24):
+        raise ValueError(
+            f"unsupported BMP: bits={bits} compression={comp} "
+            "(supported: uncompressed 8-bit indexed / 24-bit)"
+        )
+    top_down = h < 0
+    h = abs(h)
+    channels = 1 if bits == 8 else 3
+    palette = None
+    if bits == 8:
+        n_colors = clr_used or 256
+        poff = 14 + hdr_size
+        praw = np.frombuffer(data, np.uint8, count=n_colors * 4, offset=poff)
+        palette = praw.reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRA -> RGB
+    row_bytes = w * channels
+    stride = row_bytes + ((-row_bytes) % 4)
+    out = np.empty((h, row_bytes), dtype=np.uint8)
+    for i in range(h):
+        y = i if top_down else h - 1 - i
+        off = data_offset + i * stride
+        out[y] = np.frombuffer(data, np.uint8, count=row_bytes, offset=off)
+    if channels == 1:
+        grey = out
+        if palette is not None and not (
+            np.array_equal(palette[:, 0], np.arange(len(palette)))
+            and np.array_equal(palette[:, 0], palette[:, 1])
+            and np.array_equal(palette[:, 1], palette[:, 2])
+        ):
+            # non-identity palette: map indices through it (still grey iff
+            # R==G==B per entry; otherwise expand to RGB)
+            rgb = palette[grey]
+            if np.array_equal(rgb[..., 0], rgb[..., 1]) and np.array_equal(
+                rgb[..., 1], rgb[..., 2]
+            ):
+                return rgb[..., 0].astype(np.uint8)
+            return rgb.astype(np.uint8)
+        return grey
+    return out.reshape(h, w, 3)[:, :, ::-1].copy()  # BGR -> RGB

@@ -95,6 +95,72 @@ def test_png_decoder_inverts_every_filter(ftype, channels):
     assert out.shape == img.shape and (out == img).all()
 
 
+@pytest.mark.parametrize("ftype", [1, 2, 3, 4])
+def test_png_filter_inversion_full_range_no_overflow_warning(ftype):
+    """Wraparound stress: values spanning 0–255 force every modular add in
+    the filter inversion to wrap. The decode must be exact AND warning-free —
+    a uint8 scalar add would emit a NumPy RuntimeWarning per wrapping pixel
+    (spamming executor logs inside mapInPandas) even though & 0xFF happens
+    to produce the right value."""
+    import warnings
+
+    # Rows alternate 0/255 and ramp through the full range so Sub/Up/Average/
+    # Paeth predictions all differ from the raw value by >255 somewhere.
+    img = np.empty((8, 7), dtype=np.uint8)
+    img[0::2] = np.tile(np.array([0, 255, 1, 254, 2, 253, 127], np.uint8), (4, 1))
+    img[1::2] = np.linspace(255, 0, 7, dtype=np.uint8)
+    h, w = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(_forward_filter(img, ftype)))
+        + _chunk(b"IEND", b"")
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = decode_png(png)
+    assert (out == img).all()
+
+
+@pytest.mark.parametrize("shape", [(5, 7), (8, 8), (1, 1), (6, 5, 3), (16, 13, 3)])
+def test_bmp_roundtrip(shape):
+    from etl_caic_spark.operators.codecs import decode_bmp, encode_bmp
+
+    img = _rng(31 + len(shape)).randint(0, 256, size=shape).astype(np.uint8)
+    out = decode_bmp(encode_bmp(img))
+    assert out.shape == img.shape and (out == img).all()
+
+
+def test_bmp_decodes_top_down_rows():
+    """Externally-produced BMPs may store rows top-down (negative height)."""
+    from etl_caic_spark.operators.codecs import decode_bmp, encode_bmp
+
+    img = _rng(77).randint(0, 256, size=(4, 6, 3)).astype(np.uint8)
+    data = bytearray(encode_bmp(img))
+    # flip to top-down: negate height, reverse stored row order
+    w, h = 6, 4
+    row = w * 3 + ((-w * 3) % 4)
+    off = 54
+    body = bytes(data[off:])
+    rows = [body[i * row : (i + 1) * row] for i in range(h)]
+    data[off:] = b"".join(reversed(rows))
+    data[22:26] = struct.pack("<i", -h)
+    out = decode_bmp(bytes(data))
+    assert (out == img).all()
+
+
+def test_bmp_rejects_unsupported():
+    from etl_caic_spark.operators.codecs import decode_bmp, encode_bmp
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_bmp(b"NOTABMP")
+    with pytest.raises(ValueError, match="uint8"):
+        encode_bmp(np.zeros((3, 3), dtype=np.int32))
+    with pytest.raises(ValueError, match="wants"):
+        encode_bmp(np.zeros((3, 3, 4), dtype=np.uint8))
+
+
 def test_png_rejects_unsupported():
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"JUNKJUNKJUNK")
