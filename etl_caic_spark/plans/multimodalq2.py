@@ -290,3 +290,87 @@ def multimodal_png_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     survived the container roundtrip bit-exactly."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_frame_batches, _FRAMES_OUT)
+
+
+_BMP_OUT = (
+    "doc_id bigint, width int, height int, n_pixels bigint, "
+    "pixel_sum bigint, pixel_min int, pixel_max int"
+)
+
+
+def _bmp_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from etl_caic_spark.operators.codecs import decode_bmp, encode_bmp
+
+    for pdf in it:
+        rows = []
+        for d in pdf["doc_id"].astype("int64"):
+            d = int(d)
+            # Non-multiple-of-4 widths on purpose: w*ch mod 4 varies, so the
+            # 4-byte row-padding logic is exercised on both encode & decode.
+            w, h = d % 21 + 6, d % 13 + 6
+            ch = 1 if d % 2 == 0 else 3
+            i = np.arange(w * h * ch, dtype=np.int64)
+            px = ((d * 2246822519 + i * 2654435761 + 101) % 256).astype(
+                np.uint8
+            )
+            img = px.reshape(h, w) if ch == 1 else px.reshape(h, w, 3)
+            decoded = decode_bmp(encode_bmp(img))  # the real byte roundtrip
+            rows.append(
+                (
+                    d,
+                    decoded.shape[1],
+                    decoded.shape[0],
+                    decoded.size,
+                    int(decoded.astype(np.int64).sum()),
+                    int(decoded.min()),
+                    int(decoded.max()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "width",
+                "height",
+                "n_pixels",
+                "pixel_sum",
+                "pixel_min",
+                "pixel_max",
+            ],
+        )
+
+
+@register(
+    "multimodal_bmp_codec",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 21 + 6 AS w, doc_id % 13 + 6 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             (doc_id * 2246822519 + i * 2654435761 + 101) % 256 AS p
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w*h*ch - 1)) AS i) g
+    )
+    SELECT doc_id, CAST(min(w) AS INT) AS width, CAST(min(h) AS INT) AS height,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum(p) AS BIGINT) AS pixel_sum,
+           CAST(min(p) AS INT) AS pixel_min, CAST(max(p) AS INT) AS pixel_max
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "codec", "udf"),
+)
+def multimodal_bmp_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BMP pipeline (round 5): per document, synthesize an image from
+    a closed-form pixel function (even doc_ids 8-bit-indexed greyscale,
+    odd 24-bit RGB), ENCODE to genuine Windows BMP bytes
+    (operators/codecs.py — BITMAPINFOHEADER, bottom-up BGR rows, 4-byte
+    row padding, greyscale palette), DECODE the bytes back, and emit
+    integer pixel features. Widths are chosen so the row padding is
+    non-zero for most rows — a padding slip would shear the image and
+    change pixel_sum. The oracle computes the same features straight from
+    the closed form — equality proves the BMP roundtrip is lossless."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_bmp_batches, _BMP_OUT)
