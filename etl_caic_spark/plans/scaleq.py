@@ -45,6 +45,37 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_salted_skew",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 7 = 0
+    """,
+    tags=("join", "skew", "scale"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/skew.salted_join): the small dimension
+    (customer) is replicated 8× over salt ids, the fact side (orders) gets
+    a deterministic salt, and the join key becomes (key, salt) — one hot
+    hash bucket becomes 8. The oracle is the PLAIN join: salting must be
+    invisible in the result. tests/test_scale_patterns.py asserts the
+    salt-explode plan shape (explode(sequence) on the build side and the
+    composite join condition). At 100 TB this is the manual fallback when
+    AQE's skew split can't help (e.g. a single hot key inside one
+    partition-sized row group, or a broadcast-disabled build side)."""
+    from etl_caic_spark.operators.skew import salted_join
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = salted_join(orders, cust, "o_custkey", "c_custkey", salt_n=8)
+    return j.select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+
+
+@register(
     "join_bucketed",
     oracle="""
     SELECT c.c_custkey, c.c_name, CAST(count(*) AS BIGINT) AS n_orders,
@@ -226,8 +257,18 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(k, v)
     try:
         li = load_table(spark, sf_dir, "lineitem")
-        o = load_table(spark, sf_dir, "orders").filter(
-            F.col("o_totalprice") > 300000
+        # The merge hint pins a shuffle join INDEPENDENT of the conf scope:
+        # physical planning and AQE re-optimization run later, under the
+        # restored default broadcast thresholds, and without the hint they
+        # could broadcast the filtered orders side at test scale — correct
+        # results, but the shuffle-side pruning this query exists to
+        # exercise would silently vanish. (At 100 TB a 13%-of-orders build
+        # side is far past broadcast range; the hint just makes test scale
+        # plan like the target scale.)
+        o = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_totalprice") > 300000)
+            .hint("merge")
         )
         out = (
             li.join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -241,15 +282,21 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("total"),
             )
         )
-        plan = out._jdf.queryExecution().optimizedPlan().toString()
-        if "might_contain" not in plan:
+        qe = out._jdf.queryExecution()
+        # Materialize BOTH the optimized plan (bloom injection happens in
+        # logical optimization) and the physical plan inside the conf
+        # scope, then assert on the physical plan — the thing that runs.
+        if "might_contain" not in qe.optimizedPlan().toString():
             raise AssertionError(
                 "runtime bloom filter was not injected into the fact-side "
                 "scan; check the optimizer.runtime.bloomFilter confs"
             )
-        # The toString above materialized THIS QueryExecution's lazy
-        # optimizedPlan under the confs; the later action on `out` reuses
-        # it, bloom included — no need to execute anything here.
+        if "might_contain" not in qe.executedPlan().toString():
+            raise AssertionError(
+                "bloom filter predicate missing from the PHYSICAL plan — "
+                "planning no longer happens under the conf scope"
+            )
+        # Later actions on `out` reuse this QueryExecution, bloom included.
         return out
     finally:
         for k, v in saved.items():

@@ -75,6 +75,28 @@ def test_salted_join_matches_direct(spark, sf_dir):
     assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_plan_has_salt_explode(spark, sf_dir):
+    """The registered join_salted_skew query must actually plan the salted
+    shape: an explode(sequence) replicating the build side, and a join
+    condition on BOTH the natural key and _salt (so the hot key's rows
+    hash to salt_n distinct buckets)."""
+    from etl_caic_spark.registry import all_specs
+
+    q = all_specs()["join_salted_skew"].fn(spark, sf_dir)
+    optimized = q._jdf.queryExecution().optimizedPlan().toString()
+    # constant folding collapses sequence(0, 7) to a literal array; the
+    # Generate-explode node producing _salt is the salting signature
+    assert "Generate explode(" in optimized, optimized
+    assert "[_salt#" in optimized, optimized
+    # join condition carries both equi-keys
+    import re
+
+    join_lines = [l for l in optimized.splitlines() if "Join Inner" in l]
+    assert join_lines and all(
+        "_salt" in l and "custkey" in l for l in join_lines
+    ), join_lines
+
+
 def test_stop_shingle_cap_bounds_hot_buckets(spark):
     from etl_caic_spark.operators.dedup import ngram_jaccard_pairs
 
