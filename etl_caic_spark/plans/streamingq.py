@@ -377,9 +377,17 @@ def _tws_protobuf_viable() -> bool:
     worker; without a working google.protobuf the query crashes at stream
     start. Probe once at import so the query registers exactly where it
     can run (standard PySpark 4 installs) and stays off the surface where
-    it cannot (this container ships no usable protobuf — the operator
-    itself lives in streaming/stateful.py either way, with a skip-guarded
-    test)."""
+    it cannot.
+
+    Status in THIS container (probed round 5): `import google` raises
+    ModuleNotFoundError — no protobuf distribution, wheel, or vendorable
+    copy exists anywhere on the filesystem, and installs are prohibited.
+    Vendoring is not a fix: google.protobuf's pure-Python fallback is a
+    ~30k-line package and PySpark's generated *_pb2.py additionally wants
+    the C-accelerated upb runtime. So the operator (streaming/stateful.py
+    RunningTotalsProcessor) ships complete with a skip-guarded test, and
+    this query registers only where the probe passes. Registry count is
+    therefore N (+1 where protobuf is viable) — see COVERAGE.md."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 
