@@ -219,6 +219,96 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH with ENGINE-PORTABLE hashing: h_j(shingle) =
+    md5(j || '|' || shingle), minima taken in LEXICOGRAPHIC order over the
+    hex strings, band key = md5 of the band's concatenated minima.
+
+    md5 is standardized, so — unlike the xxhash64 fast path above, whose
+    seed mixing is Spark-specific — every step here is reproducible by any
+    engine and the whole MinHash+LSH pipeline gets a hash-matched DuckDB
+    oracle. min-of-md5 over a random permutation of shingle space is
+    exactly the MinHash estimator (P[min agrees] = Jaccard); hex-string
+    ordering is just an order-isomorphic encoding of the 128-bit value.
+
+    Scale shape is IDENTICAL to minhash_lsh_pairs: one shingle explode,
+    map-side partial minima, band-bucket equi-join — never all-pairs. The
+    md5 column hash costs ~2-3× xxhash64's JVM intrinsic, so at 100 TB
+    run the xxhash path and keep this as the cross-engine-verifiable twin
+    (same banding math, same candidate semantics)."""
+    rows = num_hashes // bands
+    shingled = widen_narrow_scan(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    mins = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(j)), "shingle"))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    sig = (
+        shingled.groupBy("doc")
+        .agg(*mins)
+        .select(
+            "doc",
+            F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"),
+        )
+        .localCheckpoint()
+    )
+    banded = sig.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(",", F.slice("sig", bi * rows + 1, rows))
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc", "band.band_idx", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(num_hashes),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select(
+        "doc_a", "doc_b", "est_jaccard"
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, bits: int = 63
 ) -> DataFrame:

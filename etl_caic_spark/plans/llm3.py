@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_caic_spark.operators import dedup as D
 from etl_caic_spark.operators import lsh as L
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
@@ -46,6 +47,8 @@ from etl_caic_spark.sources import load_table
       SELECT vec_id, p // 16 AS band,
              CAST(sum(bit * (1 << (p % 16))) AS BIGINT) AS band_val
       FROM bits GROUP BY 1, 2
+      QUALIFY count(*) OVER (PARTITION BY p // 16,
+                             CAST(sum(bit * (1 << (p % 16))) AS BIGINT)) <= 512
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -380,4 +383,64 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("kept_doc"),
         F.col("n_chars").alias("kept_chars"),
         "n_dups",
+    )
+
+
+@register(
+    "dedup_minhash_md5",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id AS doc, string_split(text, ' ') AS words FROM documents
+    ),
+    sh AS (
+      SELECT doc, unnest(list_distinct(list_transform(
+               generate_series(0, greatest(len(words) - 3, 0)),
+               i -> array_to_string(list_slice(words, i + 1, i + 3), ' ')
+             ))) AS shingle
+      FROM w
+    ),
+    mins AS (
+      SELECT doc, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h
+      FROM sh, generate_series(0, 15) t(j)
+      GROUP BY doc, j
+    ),
+    sig AS (
+      SELECT doc, list(h ORDER BY j) AS sig FROM mins GROUP BY doc
+    ),
+    banded AS (
+      SELECT doc, b AS band_idx,
+             md5(array_to_string(list_slice(sig, b*2 + 1, b*2 + 2), ','))
+               AS band_hash
+      FROM sig, generate_series(0, 7) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc < b.doc
+    )
+    SELECT doc_a, doc_b,
+           list_sum(list_transform(generate_series(1, 16),
+             i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16
+             AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc = doc_a
+    JOIN sig sb ON sb.doc = doc_b
+    WHERE list_sum(list_transform(generate_series(1, 16),
+            i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16
+          >= 0.5
+    """,
+    tags=("dedup", "llm", "minhash"),
+)
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with engine-portable md5 hashing
+    (operators/dedup.minhash_lsh_pairs_md5): min-of-md5 signatures in
+    lexicographic hex order, 8 bands × 2 rows, candidates verified by
+    signature agreement — the FULLY ORACLED MinHash (round 5). The
+    xxhash64 fast path (`dedup_minhash`) keeps its rows-only check +
+    recall pytest; this twin proves the banding/candidate semantics
+    hash-exactly against DuckDB running the identical construction."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs_md5(
+        d, "doc_id", "text", num_hashes=16, bands=8, k=3, threshold=0.5
     )
