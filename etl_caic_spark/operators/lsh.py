@@ -43,7 +43,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_caic_spark.operators.similarity import cosine, with_norm
@@ -114,15 +114,38 @@ def lsh_cosine_pairs(
     band_bits: int = 16,
     dims: int = 64,
     sim_decimals: int = 6,
+    max_bucket: int | None = 512,
 ) -> DataFrame:
     """LSH-candidate pairs verified by exact cosine >= threshold.
 
     Output (id_a < id_b, cosine) is deterministic: the bucket assignment
     is integer-exact and the verify cosine follows the engine-wide
-    rounding convention."""
+    rounding convention.
+
+    ``max_bucket`` is the hot-bucket guard — the LSH twin of the
+    stop-shingle df cap in the Jaccard path (operators/dedup.py). On
+    CLUSTERED corpora (all real embedding corpora: vectors concentrate in
+    a cone, e.g. all-positive activations) many vectors share a band's
+    entire sign pattern, so a few buckets hold thousands of members and
+    the candidate self-join goes quadratic INSIDE them — the 100× scale
+    probe measured 134M candidate pairs from 200k vectors, >99% from
+    oversized buckets, where the random-collision model predicts ~1M.
+    A bucket with more members than ``max_bucket`` carries ~no similarity
+    signal for near-dup mining (exact/near duplicates are handled by the
+    dedup tier FIRST, pipeline order as in minhash) and is dropped whole
+    before the join; a true near-dup pair still collides in its other
+    bands. With the cap the same probe runs linear (see SCALE.md)."""
     buckets = hyperplane_signatures(
         df, id_col, vec_col, planes, band_bits, dims
-    ).localCheckpoint()
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "band_val")
+        buckets = (
+            buckets.withColumn("_bn", F.count("*").over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    buckets = buckets.localCheckpoint()
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
