@@ -47,7 +47,8 @@ from etl_caic_spark.plans import multimodalq2  # noqa: F401,E402
 # driver re-verifies it — caic_pipeline (now fully oracled via
 # parquet-materialized fixtures), sample_fraction / sample_stratified
 # (md5-band, now oracled), sim_lsh_cosine (scale config + planted twins),
-# join_salted_skew + multimodal_bmp_codec (new); (b) the rest of the
+# join_salted_skew + multimodal_bmp_codec + dedup_minhash_md5 (new);
+# (b) the rest of the
 # window rotates in never-driver-sampled queries, prioritizing the
 # heavyweights the r4 verdict named (curation flagship, graph, rollup,
 # time-series, subqueries, TPC-H shapes, scale patterns). ~25 light
@@ -61,6 +62,7 @@ _DRIVER_WINDOW = [
     "sim_lsh_cosine",
     "join_salted_skew",
     "multimodal_bmp_codec",
+    "dedup_minhash_md5",
     # flagship + graph + time-series heavyweights (never driver-sampled)
     "corpus_curation_pipeline",
     "graph_pagerank",
@@ -104,7 +106,6 @@ _DRIVER_WINDOW = [
     "agg_percentile_exact",
     "agg_minmax_by",
     "agg_histogram",
-    "agg_mode",
     "agg_corr_exact_moments",
     "fn_bitagg",
     "stat_crosstab",
