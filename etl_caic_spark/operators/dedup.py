@@ -428,3 +428,100 @@ def keep_first_after_pairs(df: DataFrame, pairs: DataFrame, id_col: str) -> Data
     an iterative join — out of scope for the operator itself)."""
     drop = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def simhash_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with ENGINE-PORTABLE hashing: the word hash
+    is the first 32 bits of md5(word) (conv of the leading 8 hex chars),
+    so — unlike the xxhash64 path above — the fingerprint, the pigeonhole
+    blocks, and the candidate set are all reproducible by any engine and
+    the query carries a full DuckDB oracle.
+
+    32-bit fingerprints in 4 blocks of 8: complete for hamming <= 3 by
+    pigeonhole, random block-collision rate 2^-8. Same dataflow shape as
+    simhash_pairs (occurrence-level ±1 contributions, (doc, bit) sums,
+    block equi-join — never all-pairs); md5+conv costs ~2-3× the xxhash64
+    intrinsic and 32 bits discriminate less than 63, so at 100 TB run the
+    xxhash path and keep this as the verifiable twin."""
+    bits, blocks = 32, 4
+    width = bits // blocks
+    mask = (1 << width) - 1
+    words = widen_narrow_scan(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    wh = words.select(
+        "doc",
+        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("wh"),
+    )
+    contrib = wh.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: F.when(F.bit_get(F.col("wh"), i) == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                ),
+            )
+        ).alias("bit", "c"),
+    )
+    bit_sums = contrib.groupBy("doc", "bit").agg(F.sum("c").alias("s"))
+    fp = (
+        bit_sums.groupBy("doc")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0,
+                    F.pow(F.lit(2.0), F.col("bit")).cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).alias("fingerprint")
+        )
+        .localCheckpoint()
+    )
+    blocked = fp.select(
+        "doc",
+        "fingerprint",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("block_idx"),
+                        F.shiftright(F.col("fingerprint"), bi * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block_val"),
+                    )
+                    for bi in range(blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc", "fingerprint", "blk.block_idx", "blk.block_val")
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.fingerprint").alias("fp_a"),
+            F.col("b.fingerprint").alias("fp_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

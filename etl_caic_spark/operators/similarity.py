@@ -88,6 +88,7 @@ def ivf_topk(
     k: int = 5,
     nprobe: int = 2,
     sim_decimals: int = 6,
+    exact_centroids: bool = False,
 ) -> DataFrame:
     """IVF-style approximate top-k: centroids = mean vector per
     partition_col value (the coarse quantizer); each query probes only the
@@ -96,7 +97,16 @@ def ivf_topk(
     Scale: centroids are tiny → broadcast; the candidate scan becomes an
     equi-join corpus.partition == probe.partition, so partition pruning
     replaces the full scan. Recall is checked against brute force in
-    tests (property check, not an equality oracle)."""
+    tests (property check, not an equality oracle).
+
+    ``exact_centroids`` swaps the double `avg` (whose last bits depend on
+    partial-aggregation order — the reason the plain variant is
+    rows-only) for integer fixed-point means: per-dim SUM of
+    floor(x·1e6) reduced exactly in BIGINT, one double division at the
+    end, and the probe similarity rounded before ranking. Every step is
+    then engine-reproducible and the query can carry a full SQL oracle
+    (the same integerize-then-divide idiom as the engine's other exact
+    aggregates)."""
     dim_probe = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("_vec").alias("q_vec"),
@@ -109,10 +119,20 @@ def ivf_topk(
     exploded = c.select(
         F.col(partition_col).alias("pt"), F.posexplode("_vec").alias("pos", "val")
     )
+    if exact_centroids:
+        per_dim = exploded.groupBy("pt", "pos").agg(
+            F.sum(F.floor(F.col("val") * 1e6).cast("bigint")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        per_dim = per_dim.withColumn(
+            "cval",
+            F.col("s").cast("double")
+            / (F.lit(1000000) * F.col("n")).cast("double"),
+        )
+    else:
+        per_dim = exploded.groupBy("pt", "pos").agg(F.avg("val").alias("cval"))
     centroid_arrays = (
-        exploded.groupBy("pt", "pos")
-        .agg(F.avg("val").alias("cval"))
-        .groupBy("pt")
+        per_dim.groupBy("pt")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
         .select(
             "pt", F.transform("pairs", lambda s: s.getField("cval")).alias("c_vec")
@@ -120,12 +140,16 @@ def ivf_topk(
         .withColumn("c_norm", F.sqrt(_dot(F.col("c_vec"), F.col("c_vec"))))
     )
 
+    c_sim = cosine(
+        F.col("q_vec"), F.col("q_norm"), F.col("c_vec"), F.col("c_norm")
+    )
+    if exact_centroids:
+        # Round before ranking so a last-bit summation difference between
+        # engines can never flip the probe choice.
+        c_sim = F.round(c_sim, sim_decimals)
     probes = (
         dim_probe.crossJoin(F.broadcast(centroid_arrays))
-        .withColumn(
-            "c_sim",
-            cosine(F.col("q_vec"), F.col("q_norm"), F.col("c_vec"), F.col("c_norm")),
-        )
+        .withColumn("c_sim", c_sim)
         .withColumn(
             "probe_rank",
             F.row_number().over(

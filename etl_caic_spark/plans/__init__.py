@@ -40,6 +40,7 @@ from etl_caic_spark.plans import scaleq  # noqa: F401,E402
 from etl_caic_spark.plans import curationq  # noqa: F401,E402
 from etl_caic_spark.plans import featuresq  # noqa: F401,E402
 from etl_caic_spark.plans import multimodalq2  # noqa: F401,E402
+from etl_caic_spark.plans import llm4  # noqa: F401,E402
 
 # Driver window (positions 0..49). Families with no driver row yet come
 # first; the last slots are stable core representatives (canaries).
@@ -63,6 +64,8 @@ _DRIVER_WINDOW = [
     "join_salted_skew",
     "multimodal_bmp_codec",
     "dedup_minhash_md5",
+    "dedup_simhash_md5",
+    "sim_topk_ivf_exact",
     # flagship + graph + time-series heavyweights (never driver-sampled)
     "corpus_curation_pipeline",
     "graph_pagerank",
@@ -105,10 +108,8 @@ _DRIVER_WINDOW = [
     "agg_string_agg",
     "agg_percentile_exact",
     "agg_minmax_by",
-    "agg_histogram",
     "agg_corr_exact_moments",
     "fn_bitagg",
-    "stat_crosstab",
     "profile_summary",
     # scans / formats
     "scan_partition_pruned",
