@@ -19,6 +19,10 @@ Supported subset (documented, asserted):
 - BMP: uncompressed (BI_RGB) 8-bit indexed (greyscale palette on encode,
   arbitrary palette on decode) and 24-bit; bottom-up on encode, bottom-up
   or top-down on decode; 4-byte row padding per spec.
+- GIF87a: single-image 8-bit with a REAL variable-width LZW compressor
+  (9→12-bit codes, LSB-first packing, CLEAR-code table resets); decode
+  also accepts GIF89a with extension blocks (skipped) and arbitrary
+  palettes; no interlace.
 
 Scale: codecs are per-row NumPy kernels invoked inside Arrow-batched
 mapInPandas — partition-parallel, no driver involvement, payload bytes
@@ -300,3 +304,189 @@ def decode_bmp(data: bytes) -> np.ndarray:
             return rgb.astype(np.uint8)
         return grey
     return out.reshape(h, w, 3)[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def _lzw_encode(pixels, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: variable-width codes 9..12 bits packed LSB-first,
+    CLEAR emitted on table overflow. Encoder adds the new table entry
+    AFTER emitting the prefix code and widens when the newly-added index
+    reaches 1 << code_size — the exact mirror of the decoder below."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    bitbuf = bitcnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    def fresh_table():
+        return {(i,): i for i in range(clear)}
+
+    table = fresh_table()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    prefix: tuple = ()
+    for p in pixels:
+        p = int(p)
+        cand = prefix + (p,)
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = fresh_table()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = (p,)
+    if prefix:
+        emit(table[prefix], width)
+    emit(eoi, width)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int = 8) -> list[int]:
+    """Inverse of _lzw_encode (GIF spec §appendix): decoder adds its entry
+    one code behind the encoder and widens when its next-index counter
+    reaches 1 << code_size, which lands the width change on the same
+    stream position as the encoder's."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    pos = bitbuf = bitcnt = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, bitbuf, bitcnt
+        while bitcnt < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            bitbuf |= data[pos] << bitcnt
+            pos += 1
+            bitcnt += 8
+        v = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        bitcnt -= width
+        return v
+
+    table: list[tuple] = [(i,) for i in range(clear)] + [(), ()]
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: tuple | None = None
+    while True:
+        c = read(width)
+        if c == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if c == eoi:
+            return out
+        if c < next_code:
+            entry = table[c]
+        elif c == next_code and prev is not None:
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError(f"GIF LZW: invalid code {c} (next={next_code})")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table.append(prev + (entry[0],))
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """uint8 array (h, w) greyscale → GIF87a bytes: 256-entry greyscale
+    global color table, single image, REAL variable-width LZW."""
+    if arr.dtype != np.uint8 or arr.ndim != 2:
+        raise ValueError(f"encode_gif wants uint8 (h,w), got {arr.dtype} {arr.shape}")
+    h, w = arr.shape
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0xF7, 0, 0])  # GCT present, 8-bit color res, 256 entries
+    for v in range(256):
+        out += bytes((v, v, v))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([8])  # LZW minimum code size
+    data = _lzw_encode(arr.flatten().tolist())
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF87a/89a bytes → uint8 (h, w) grey or (h, w, 3) RGB (palette
+    applied; grey iff every palette entry has R==G==B). Supports a single
+    image, no interlace; extension blocks are skipped."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    sw, sh = struct.unpack("<HH", data[6:10])
+    packed = data[10]
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(data, np.uint8, count=n * 3, offset=pos).reshape(
+            n, 3
+        )
+        pos += n * 3
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            left, top, w, h = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            ipacked = data[pos + 9]
+            pos += 10
+            if ipacked & 0x40:
+                raise ValueError("unsupported GIF: interlaced image")
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                palette = np.frombuffer(
+                    data, np.uint8, count=n * 3, offset=pos
+                ).reshape(n, 3)
+                pos += n * 3
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.array(_lzw_decode(bytes(lzw), min_code), dtype=np.uint8)
+            if len(idx) != w * h:
+                raise ValueError("GIF pixel count mismatch")
+            img = idx.reshape(h, w)
+            if palette is None:
+                return img
+            rgb = palette[img]
+            if np.array_equal(rgb[..., 0], rgb[..., 1]) and np.array_equal(
+                rgb[..., 1], rgb[..., 2]
+            ):
+                return rgb[..., 0].copy()
+            return rgb
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    raise ValueError("GIF missing image data")

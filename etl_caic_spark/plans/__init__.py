@@ -66,6 +66,7 @@ _DRIVER_WINDOW = [
     "dedup_minhash_md5",
     "dedup_simhash_md5",
     "sim_topk_ivf_exact",
+    "multimodal_gif_codec",
     # flagship + graph + time-series heavyweights (never driver-sampled)
     "corpus_curation_pipeline",
     "graph_pagerank",
@@ -109,7 +110,6 @@ _DRIVER_WINDOW = [
     "agg_percentile_exact",
     "agg_minmax_by",
     "agg_corr_exact_moments",
-    "fn_bitagg",
     "profile_summary",
     # scans / formats
     "scan_partition_pruned",

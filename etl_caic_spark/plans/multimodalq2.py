@@ -374,3 +374,81 @@ def multimodal_bmp_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     the closed form — equality proves the BMP roundtrip is lossless."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_bmp_batches, _BMP_OUT)
+
+
+_GIF_OUT = (
+    "doc_id bigint, width int, height int, n_pixels bigint, "
+    "pixel_sum bigint, pixel_min int, pixel_max int"
+)
+
+
+def _gif_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from etl_caic_spark.operators.codecs import decode_gif, encode_gif
+
+    for pdf in it:
+        rows = []
+        for d in pdf["doc_id"].astype("int64"):
+            d = int(d)
+            w, h = d % 19 + 6, d % 11 + 6
+            i = np.arange(w * h, dtype=np.int64)
+            px = ((d * 40503 + i * 2654435761 + 77) % 256).astype(np.uint8)
+            img = px.reshape(h, w)
+            decoded = decode_gif(encode_gif(img))  # real LZW roundtrip
+            rows.append(
+                (
+                    d,
+                    decoded.shape[1],
+                    decoded.shape[0],
+                    decoded.size,
+                    int(decoded.astype(np.int64).sum()),
+                    int(decoded.min()),
+                    int(decoded.max()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "width",
+                "height",
+                "n_pixels",
+                "pixel_sum",
+                "pixel_min",
+                "pixel_max",
+            ],
+        )
+
+
+@register(
+    "multimodal_gif_codec",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 19 + 6 AS w, doc_id % 11 + 6 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             (doc_id * 40503 + i * 2654435761 + 77) % 256 AS p
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w*h - 1)) AS i) g
+    )
+    SELECT doc_id, CAST(min(w) AS INT) AS width, CAST(min(h) AS INT) AS height,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum(p) AS BIGINT) AS pixel_sum,
+           CAST(min(p) AS INT) AS pixel_min, CAST(max(p) AS INT) AS pixel_max
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "codec", "udf"),
+)
+def multimodal_gif_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real GIF87a pipeline (round 5): per document, synthesize a
+    greyscale image from a closed-form pixel function, ENCODE to genuine
+    GIF bytes — including a REAL variable-width LZW compressor
+    (operators/codecs.py: 9→12-bit codes, LSB-first packing, CLEAR-code
+    table resets) — DECODE back, and emit integer pixel features. The
+    oracle computes the same features from the closed form; the hash
+    match proves the LZW encode→decode roundtrip is lossless. Random
+    pixels stress worst-case LZW (table overflow + resets on larger
+    images are pinned by tests/test_codecs.py)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_gif_batches, _GIF_OUT)

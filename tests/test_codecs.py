@@ -161,6 +161,60 @@ def test_bmp_rejects_unsupported():
         encode_bmp(np.zeros((3, 3, 4), dtype=np.uint8))
 
 
+@pytest.mark.parametrize("shape", [(5, 7), (1, 1), (64, 64), (3, 200)])
+def test_gif_roundtrip(shape):
+    from etl_caic_spark.operators.codecs import decode_gif, encode_gif
+
+    img = _rng(53).randint(0, 256, size=shape).astype(np.uint8)
+    out = decode_gif(encode_gif(img))
+    assert out.shape == img.shape and (out == img).all()
+
+
+def test_gif_lzw_table_overflow_and_reset():
+    """100x100 random pixels add ~1 LZW entry per pixel, overflowing the
+    4096-entry table several times — the CLEAR-code reset path and every
+    code width 9..12 are exercised."""
+    from etl_caic_spark.operators.codecs import decode_gif, encode_gif
+
+    img = _rng(54).randint(0, 256, size=(100, 100)).astype(np.uint8)
+    assert (decode_gif(encode_gif(img)) == img).all()
+
+
+def test_gif_lzw_long_runs():
+    """Uniform regions hit LZW's best case (long prefix chains) — the
+    deferred-entry decode branch (code == next_code) must reconstruct."""
+    from etl_caic_spark.operators.codecs import decode_gif, encode_gif
+
+    img = np.zeros((80, 80), np.uint8)
+    img[40:] = 255
+    img[:, 40:] ^= 7
+    assert (decode_gif(encode_gif(img)) == img).all()
+
+
+def test_gif_skips_extension_blocks():
+    """GIF89a files carry extension blocks (graphics control etc.) before
+    the image descriptor — the decoder must skip them."""
+    from etl_caic_spark.operators.codecs import decode_gif, encode_gif
+
+    img = _rng(55).randint(0, 256, size=(6, 9)).astype(np.uint8)
+    data = bytearray(encode_gif(img))
+    # splice a graphics-control extension after the global color table
+    gce = bytes([0x21, 0xF9, 0x04, 0, 0, 0, 0, 0])
+    insert_at = 13 + 256 * 3
+    data[insert_at:insert_at] = gce
+    data[0:6] = b"GIF89a"
+    assert (decode_gif(bytes(data)) == img).all()
+
+
+def test_gif_rejects_unsupported():
+    from etl_caic_spark.operators.codecs import decode_gif, encode_gif
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTAGIF!")
+    with pytest.raises(ValueError, match="wants"):
+        encode_gif(np.zeros((3, 3, 3), dtype=np.uint8))  # RGB unsupported
+
+
 def test_png_rejects_unsupported():
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"JUNKJUNKJUNK")

@@ -185,6 +185,32 @@ def test_load_events_reads_annotated_nanos(tmp_path, spark):
     assert rows[1].ts == datetime.datetime(2023, 11, 14, 23, 13, 20)
 
 
+def test_caic_fixture_parquet_matches_generators(spark):
+    """The parquet-materialized CAIC fixtures (what caic_pipeline AND its
+    DuckDB oracle read) must hold exactly the rows the in-code generators
+    produce (what the golden tests pin). A drift — e.g. editing
+    area_rows() without bumping CAIC_FIXTURE_TAG, leaving a stale .tmp
+    dataset — would silently decouple the oracled query from the golden
+    semantics; this assert makes it loud."""
+    from etl_caic_spark.sources.caic_fixtures import (
+        ensure_caic_fixture_parquet,
+        generate_areas,
+        generate_forecasts,
+    )
+
+    areas_path, forecasts_path = ensure_caic_fixture_parquet()
+
+    def canon(rows):
+        return sorted(repr(sorted(r.asDict().items())) for r in rows)
+
+    assert canon(spark.read.parquet(areas_path).collect()) == canon(
+        generate_areas(spark).collect()
+    )
+    assert canon(spark.read.parquet(forecasts_path).collect()) == canon(
+        generate_forecasts(spark).collect()
+    )
+
+
 def test_loader_rejects_insane_ts(tmp_path):
     """The loader-side guard itself must throw on a wrong-unit file (e.g.
     seconds stored where the nanos branch would decode them as ~1970)."""

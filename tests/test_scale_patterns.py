@@ -97,6 +97,36 @@ def test_salted_join_plan_has_salt_explode(spark, sf_dir):
     ), join_lines
 
 
+def test_ann_queries_never_plan_all_pairs(spark, sf_dir):
+    """The ANN family's scale claim is 'never all-pairs': candidate
+    generation must plan as equi-joins (bucket/band/partition keys), with
+    the ONLY nested-loop join allowed being the broadcast of a tiny
+    centroid/query dimension. A CartesianProduct anywhere means a config
+    regression re-introduced the quadratic path."""
+    from etl_caic_spark.registry import all_specs
+
+    specs = all_specs()
+    for name in ("sim_lsh_cosine", "dedup_minhash_md5", "dedup_simhash_md5"):
+        plan = (
+            specs[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, f"{name} plans a cross product"
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a nested-loop join"
+        )
+    # IVF: the centroid probe IS a (broadcast) cross join of |queries| x
+    # |labels| — tiny by construction; the corpus-side candidate scan must
+    # still be an equi-join, so a plain CartesianProduct stays forbidden.
+    plan = (
+        specs["sim_topk_ivf_exact"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
 def test_stop_shingle_cap_bounds_hot_buckets(spark):
     from etl_caic_spark.operators.dedup import ngram_jaccard_pairs
 
