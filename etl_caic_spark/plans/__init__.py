@@ -41,19 +41,20 @@ from etl_caic_spark.plans import curationq  # noqa: F401,E402
 from etl_caic_spark.plans import featuresq  # noqa: F401,E402
 from etl_caic_spark.plans import multimodalq2  # noqa: F401,E402
 from etl_caic_spark.plans import llm4  # noqa: F401,E402
+from etl_caic_spark.plans import relational8  # noqa: F401,E402
+from etl_caic_spark.plans import geoq  # noqa: F401,E402
 
 # Driver window (positions 0..49). Families with no driver row yet come
 # first; the last slots are stable core representatives (canaries).
-# Round-5 edit: (a) every query CHANGED this round leads the window so the
-# driver re-verifies it — caic_pipeline (now fully oracled via
-# parquet-materialized fixtures), sample_fraction / sample_stratified
-# (md5-band, now oracled), sim_lsh_cosine (scale config + planted twins),
-# join_salted_skew + multimodal_bmp_codec + dedup_minhash_md5 (new);
-# (b) the rest of the
-# window rotates in never-driver-sampled queries, prioritizing the
+# Round-5 edit: (a) every query CHANGED or ADDED this round leads the
+# window so the driver verifies it — the re-oracled flagship/sampling/LSH
+# queries, the codec and skew-join additions, and the late-round-5 wave
+# (bitmap distinct, FILTER aggregates, NOT IN 3VL, TPC-H Q10, CDC apply,
+# grid spatial join, linear-interp gapfill, BFS hops, dynamic partition
+# overwrite); (b) the remaining slots keep never-driver-sampled
 # heavyweights the r4 verdict named (curation flagship, graph, rollup,
-# time-series, subqueries, TPC-H shapes, scale patterns). ~25 light
-# fn_*/sink_* queries remain for the round-6 window; all are green in the
+# time-series, subqueries, TPC-H shapes, scale patterns). The displaced
+# light fn_*/agg_*/win_* queries rotate in round 6; all are green in the
 # identical local oracle run (tests/test_oracle.py) meanwhile.
 _DRIVER_WINDOW = [
     # changed this round — driver must re-verify
@@ -67,6 +68,16 @@ _DRIVER_WINDOW = [
     "dedup_simhash_md5",
     "sim_topk_ivf_exact",
     "multimodal_gif_codec",
+    # new this round (wave 8 + geo/graph/ts/sink additions)
+    "agg_bitmap_distinct",
+    "agg_filter_clause",
+    "subquery_not_in_nulls",
+    "tpch_q10_shape",
+    "cdc_apply_changes",
+    "geo_grid_join",
+    "ts_interpolate_linear",
+    "graph_bfs_hops",
+    "sink_partition_overwrite",
     # flagship + graph + time-series heavyweights (never driver-sampled)
     "corpus_curation_pipeline",
     "graph_pagerank",
@@ -84,9 +95,6 @@ _DRIVER_WINDOW = [
     "tpch_q3_shape",
     "tpch_q5_shape",
     "tpch_q18_shape",
-    # windows
-    "win_distribution",
-    "win_range_frame",
     # scale patterns
     "agg_salted_skew",
     "join_bucketed",
@@ -102,15 +110,8 @@ _DRIVER_WINDOW = [
     "udf_map_in_arrow",
     "udf_python_udtf",
     # relational/agg remainder
-    "pivot_wide",
-    "unpivot_long",
-    "agg_grouping_sets",
-    "agg_stats",
-    "agg_string_agg",
     "agg_percentile_exact",
-    "agg_minmax_by",
     "agg_corr_exact_moments",
-    "profile_summary",
     # scans / formats
     "scan_partition_pruned",
     "scan_schema_evolution",

@@ -286,3 +286,59 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c_mktsegment"),
         F.col("_corrupt").isNotNull().alias("is_corrupt"),
     )
+
+
+@register(
+    "sink_partition_overwrite",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round((CASE WHEN o_orderpriority = '1-URGENT'
+                                     THEN o_totalprice + 1000
+                                     ELSE o_totalprice END) * 100)
+                         AS BIGINT)) AS BIGINT) / 100.0 AS total
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("sink", "format", "scale"),
+)
+def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill sink: write
+    the full orders table hive-partitioned by priority, then rewrite ONLY
+    the 1-URGENT partition (prices restated +1000) with
+    partitionOverwriteMode=dynamic, and read the dataset back. The final
+    state proves the selective overwrite: untouched partitions keep their
+    original rows, the restated partition holds only the new ones.
+
+    Why it matters at 100 TB: backfilling one day/partition of a petabyte
+    table must not truncate the rest (STATIC mode would); dynamic mode
+    commits exactly the partitions present in the incoming frame, so a
+    re-run of the same backfill is idempotent. Totals are summed in
+    integer cents to stay order-independent."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    path = scratch_path("partition_overwrite")
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    src.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    spark.conf.set(key, "dynamic")
+    try:
+        restated = src.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1000
+        )
+        restated.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents) / 100.0).alias("total"),
+        )
+    )

@@ -170,3 +170,79 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tri.select(F.col("z").alias("v")))
     )
     return verts.groupBy("v").agg(F.count("*").alias("n_triangles"))
+
+
+_BFS_HOPS = 4
+_SEED_MOD = 29
+
+
+def _bfs_oracle() -> str:
+    """Unroll the fixed BFS rounds as CTE layers d1..dN — exact integer
+    replay of the Spark iteration (min-hop label propagation)."""
+    parts = [
+        "WITH"
+        + _GRAPH_SQL.format(scale=SCALE)
+        + f""",
+    d0 AS (SELECT v, 0 AS hop FROM nodes WHERE v % {_SEED_MOD} = 0)"""
+    ]
+    prev = "d0"
+    for i in range(1, _BFS_HOPS + 1):
+        parts.append(f"""
+    d{i} AS (
+      SELECT v, min(hop) AS hop FROM (
+        SELECT v, hop FROM {prev}
+        UNION ALL
+        SELECT e.dst AS v, {prev}.hop + 1 AS hop
+        FROM {prev} JOIN edges e ON {prev}.v = e.src
+      ) GROUP BY v
+    )""")
+        prev = f"d{i}"
+    return (
+        ",".join(parts).replace("WITH,", "WITH")
+        + f"""
+    SELECT v AS user_id, CAST(hop AS INT) AS hops FROM d{_BFS_HOPS}
+    """
+    )
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=_bfs_oracle(),
+    tags=("graph", "iterative"),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the event-interaction graph: minimum hop
+    distance from the seed set (user_id % 29 == 0) within 4 rounds of
+    min-label propagation — the reachability primitive under influence /
+    contamination-radius analyses. Integer hops make the iterative
+    algorithm hash-matchable; the oracle unrolls the same rounds as CTEs.
+
+    Scale: each round is one shuffle (join frontier⨝edges on src, then
+    min-combine); the frontier never exceeds |V| because hops only
+    shrink, and edges are reused across rounds (cache-worthy on a real
+    cluster). Unreached vertices are absent, not NULL-padded."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("user_id").over(w).alias("src"), F.col("user_id").alias("dst")
+    )
+    edges = (
+        seq.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    dist = nodes.filter(F.col("v") % _SEED_MOD == 0).select(
+        "v", F.lit(0).alias("hop")
+    )
+    for _ in range(_BFS_HOPS):
+        grown = dist.join(edges, dist["v"] == edges["src"]).select(
+            F.col("dst").alias("v"), (F.col("hop") + 1).alias("hop")
+        )
+        dist = dist.unionByName(grown).groupBy("v").agg(F.min("hop").alias("hop"))
+    return dist.select(
+        F.col("v").alias("user_id"), F.col("hop").cast("int").alias("hops")
+    )

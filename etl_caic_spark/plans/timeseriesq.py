@@ -4,7 +4,7 @@ is computed from the finer grain's partials (operators/timeseries.py)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_caic_spark.operators import timeseries as TS
@@ -377,4 +377,113 @@ def win_pattern_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_ts_s").alias("error_ts"),
             F.expr("gap_us div 1000000").alias("gap_seconds"),
         )
+    )
+
+
+@register(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value
+      FROM events WHERE user_id % 10 = 0
+    ),
+    obs AS (
+      SELECT user_id, h, round(avg(value), 6) AS v FROM ev GROUP BY 1, 2
+    ),
+    rng AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM rng
+    ),
+    j AS (
+      SELECT g.user_id, g.h, o.v
+      FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.h = g.h
+    ),
+    f AS (
+      SELECT user_id, h, v,
+             last_value(v IGNORE NULLS) OVER wp AS prev_v,
+             last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+               OVER wp AS prev_h,
+             first_value(v IGNORE NULLS) OVER wn AS next_v,
+             first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+               OVER wn AS next_h
+      FROM j
+      WINDOW wp AS (PARTITION BY user_id ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE prev_v + (next_v - prev_v)
+                     * (CAST(date_diff('hour', prev_h, h) AS DOUBLE)
+                        / CAST(date_diff('hour', prev_h, next_h) AS DOUBLE))
+           END AS value,
+           (v IS NULL) AS interpolated
+    FROM f
+    """,
+    tags=("timeseries", "gapfill"),
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill on an hourly grid — the numeric
+    sibling of ts_gapfill_locf: missing hours get the straight line
+    between the surrounding observations instead of the previous value.
+
+    Construction: hourly averages (rounded once so both engines
+    interpolate from identical doubles) -> per-key sequence() grid
+    explode -> one window pass computing prev/next observation via
+    IGNORE NULLS last/first -> exact integer hour-distance ratio.
+    Boundaries always exist because the grid spans each key's own
+    [min, max] observed hour.
+
+    Scale: the grid explode is O(span/grain) per key and the single
+    window shuffle is keyed by user — no join against a global calendar
+    table; each key's timeline stays in one partition. The user_id % 10
+    filter is the sf0.01 oracle-size guard, not part of the operator."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 0)
+        .select("user_id", F.date_trunc("hour", "ts").alias("h"), "value")
+    )
+    obs = ev.groupBy("user_id", "h").agg(F.round(F.avg("value"), 6).alias("v"))
+    rng = obs.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = rng.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    j = grid.join(obs, ["user_id", "h"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    f = j.select(
+        "user_id",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("prev_h"),
+        F.first("v", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(obs_h, ignorenulls=True).over(wn).alias("next_h"),
+    )
+    frac = F.expr("timestampdiff(HOUR, prev_h, h)").cast("double") / F.expr(
+        "timestampdiff(HOUR, prev_h, next_h)"
+    ).cast("double")
+    return f.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        # no final round: the observed inputs are identically rounded on
+        # both engines, so the interpolation expression (same op tree on
+        # exact-int hour distances) is bit-identical — rounding HERE would
+        # reintroduce half-boundary divergence, not remove it
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+        .alias("value"),
+        F.col("v").isNull().alias("interpolated"),
     )
