@@ -43,6 +43,7 @@ from etl_caic_spark.plans import multimodalq2  # noqa: F401,E402
 from etl_caic_spark.plans import llm4  # noqa: F401,E402
 from etl_caic_spark.plans import relational8  # noqa: F401,E402
 from etl_caic_spark.plans import geoq  # noqa: F401,E402
+from etl_caic_spark.plans import sketchq  # noqa: F401,E402
 
 # Driver window (positions 0..49). Families with no driver row yet come
 # first; the last slots are stable core representatives (canaries).
@@ -78,6 +79,8 @@ _DRIVER_WINDOW = [
     "ts_interpolate_linear",
     "graph_bfs_hops",
     "sink_partition_overwrite",
+    "sketch_countmin_freq",
+    "sketch_bloom_membership",
     # flagship + graph + time-series heavyweights (never driver-sampled)
     "corpus_curation_pipeline",
     "graph_pagerank",
@@ -101,17 +104,14 @@ _DRIVER_WINDOW = [
     "compact_small_files",
     "layout_zorder",
     "join_shuffle_hash",
-    # streaming remainder
-    "stream_dedup",
+    # streaming remainder (+ the new outer join)
+    "stream_outer_join",
     "stream_foreach_batch",
     "stream_stateful_totals",
     "stream_python_datasource",
     # UDF remainder
     "udf_map_in_arrow",
     "udf_python_udtf",
-    # relational/agg remainder
-    "agg_percentile_exact",
-    "agg_corr_exact_moments",
     # scans / formats
     "scan_partition_pruned",
     "scan_schema_evolution",

@@ -440,3 +440,87 @@ if _tws_protobuf_viable():
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prev)
+
+
+@register(
+    "stream_outer_join",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS max_ts FROM events),
+    p AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '1 hour'
+     AND c.ts <= p.ts
+    WHERE p.ts < (SELECT max_ts - INTERVAL '3 hours' FROM mx)
+    """,
+    tags=("streaming", "join"),
+)
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream LEFT OUTER interval join — the shape that
+    needs watermark-driven state EVICTION to be correct: a purchase with
+    no click in its preceding hour can only be emitted (with a NULL
+    click) once the event-time watermark proves no matching click can
+    still arrive. The theoretical eviction point is the purchase's own
+    timestamp, but Spark's state watermark is conservative (measured
+    here: nulls stopped flowing ~30min before final watermark = max ts
+    - 2h), so the comparison is pinned to a PROVABLY-final horizon:
+    both the stream result and the oracle keep only purchases older
+    than max ts - 3h (watermark delay + the 1h interval span). Every
+    eviction inside that horizon must have fired — the null-padded
+    rows ARE the hash-verified eviction semantics — while rows nearer
+    the end, whose emission depends on the engine's conservatism, are
+    excluded on both sides identically.
+
+    Scale: same both-sides shuffle on user_id as the inner join; the
+    outer side's state is bounded by watermark + interval horizon. The
+    no-data finalization batch (Spark's noDataMicroBatches) is what
+    flushes the last evictions — required for ANY bounded replay."""
+    from pyspark.sql import functions as SF
+
+    p = (
+        SW.read_events_stream(spark, sf_dir)
+        .filter(SF.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            SF.col("event_id").alias("purchase_id"),
+            "user_id",
+            SF.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        SW.read_events_stream(spark, sf_dir)
+        .filter(SF.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            SF.col("event_id").alias("click_id"),
+            SF.col("user_id").alias("c_user"),
+            SF.col("ts").alias("c_ts"),
+        )
+    )
+    joined = p.join(
+        c,
+        (SF.col("user_id") == SF.col("c_user"))
+        & (SF.col("c_ts") >= SF.col("p_ts") - SF.expr("INTERVAL 1 HOUR"))
+        & (SF.col("c_ts") <= SF.col("p_ts")),
+        "left_outer",
+    ).select("purchase_id", "click_id", "user_id", "p_ts")
+    out = SW.run_stream_to_table(spark, joined, "append")
+    # pin the provably-final horizon (see docstring) relationally — the
+    # 1-row max frame cross-joins in, no driver-side collect
+    mx = (
+        load_table(spark, sf_dir, "events")
+        .agg(SF.max("ts").alias("max_ts"))
+        .select((SF.col("max_ts") - SF.expr("INTERVAL 3 HOURS")).alias("cut"))
+    )
+    return (
+        out.crossJoin(SF.broadcast(mx))
+        .filter(SF.col("p_ts") < SF.col("cut"))
+        .select("purchase_id", "click_id", "user_id")
+    )

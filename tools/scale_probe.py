@@ -16,8 +16,11 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from pyspark.sql import Window as W  # noqa: E402
+
 from etl_caic_spark.operators.asof import asof_join  # noqa: E402
 from etl_caic_spark.operators.dedup import minhash_lsh_pairs  # noqa: E402
+from etl_caic_spark.operators.geo import grid_neighbor_pairs  # noqa: E402
 from etl_caic_spark.operators.lsh import lsh_cosine_pairs  # noqa: E402
 from etl_caic_spark.operators.pagerank import pagerank  # noqa: E402
 from etl_caic_spark.operators.text_analysis import repetition_signals  # noqa: E402
@@ -165,6 +168,62 @@ def main():
             "lsh_cosine": timeit(
                 lambda: noop(
                     lsh_cosine_pairs(emb, "vec_id", "embedding", threshold=0.9)
+                )
+            ),
+            # r5: bitmap exact-distinct on a key space that GROWS with the
+            # factor (event_id, shifted per replica) — the bucket count
+            # scales with |keys|/64 and both groupBys stay partial-agg.
+            "bitmap_distinct": timeit(
+                lambda: noop(
+                    ev.groupBy(
+                        "event_type", F.shiftright("event_id", 6).alias("bucket")
+                    )
+                    .agg(
+                        F.bit_or(
+                            F.expr("shiftleft(1L, CAST(event_id % 64 AS INT))")
+                        ).alias("bm")
+                    )
+                    .groupBy("event_type")
+                    .agg(F.sum(F.bit_count("bm")).alias("n"))
+                )
+            ),
+            # r5: grid spatial join. Each replica is offset into its own
+            # unit box (vec_id div 10M = replica id) so point DENSITY stays
+            # constant as the corpus grows — near-pair counts, and thus the
+            # verify stage, grow linearly; without the offset the probe
+            # would measure quadratic true-pair growth in the data itself.
+            "grid_join": timeit(
+                lambda: noop(
+                    grid_neighbor_pairs(
+                        emb.select(
+                            "vec_id",
+                            (
+                                F.element_at("embedding", 1).cast("double")
+                                + (F.col("vec_id") / 10_000_000).cast("bigint")
+                            ).alias("x"),
+                            F.element_at("embedding", 2).cast("double").alias("y"),
+                        ),
+                        "vec_id",
+                        "x",
+                        "y",
+                        eps=0.03,
+                    )
+                )
+            ),
+            # r5: CDC apply — fixed key count (150 users), per-key log depth
+            # grows with the factor; one shuffle + linear per-key window scan.
+            "cdc_apply": timeit(
+                lambda: noop(
+                    ev.withColumn(
+                        "rn",
+                        F.row_number().over(
+                            W.partitionBy("user_id").orderBy(
+                                F.desc("ts"), F.desc("event_id")
+                            )
+                        ),
+                    )
+                    .filter("rn = 1 AND event_type <> 'error'")
+                    .select("user_id", "value")
                 )
             ),
             "pagerank": timeit(
