@@ -44,6 +44,7 @@ from etl_caic_spark.plans import llm4  # noqa: F401,E402
 from etl_caic_spark.plans import relational8  # noqa: F401,E402
 from etl_caic_spark.plans import geoq  # noqa: F401,E402
 from etl_caic_spark.plans import sketchq  # noqa: F401,E402
+from etl_caic_spark.plans import relational9  # noqa: F401,E402
 
 # Driver window (positions 0..49). Families with no driver row yet come
 # first; the last slots are stable core representatives (canaries).
@@ -81,6 +82,10 @@ _DRIVER_WINDOW = [
     "sink_partition_overwrite",
     "sketch_countmin_freq",
     "sketch_bloom_membership",
+    "sketch_histogram_quantile",
+    "merge_full",
+    "join_asof_nearest",
+    "win_sliding_distinct",
     # flagship + graph + time-series heavyweights (never driver-sampled)
     "corpus_curation_pipeline",
     "graph_pagerank",
@@ -109,13 +114,8 @@ _DRIVER_WINDOW = [
     "stream_foreach_batch",
     "stream_stateful_totals",
     "stream_python_datasource",
-    # UDF remainder
-    "udf_map_in_arrow",
-    "udf_python_udtf",
     # scans / formats
     "scan_partition_pruned",
-    "scan_schema_evolution",
-    "scan_csv_malformed",
 ]
 
 

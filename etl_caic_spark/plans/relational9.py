@@ -1,0 +1,240 @@
+"""Ninth wave (round 5): the full three-action MERGE (update + insert +
+delete in one full-outer pass — completing the family started by
+scd_upsert's two-action emulation and cdc_apply_changes' log collapse)
+and the nearest-direction as-of join (pandas merge_asof
+direction='nearest', the variant join_asof's backward search can't
+express)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_caic_spark.registry import register
+from etl_caic_spark.sources import load_table
+
+
+@register(
+    "merge_full",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey AS k, 'D' AS op,
+             NULL::DOUBLE AS new_bal, NULL::VARCHAR AS new_seg
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, 'U', round(c_acctbal + 500, 2), 'MERGED'
+      FROM customer WHERE c_custkey % 7 = 1
+      UNION ALL
+      SELECT c_custkey + 2000000, 'I', 0.0, 'INSERTED'
+      FROM customer WHERE c_custkey % 7 = 2
+    )
+    SELECT coalesce(b.c_custkey, s.k) AS c_custkey,
+           coalesce(b.c_name, 'Customer#new') AS c_name,
+           CASE WHEN s.op = 'U' THEN s.new_bal
+                WHEN s.op = 'I' THEN s.new_bal
+                ELSE round(b.c_acctbal, 2) END AS c_acctbal,
+           CASE WHEN s.op = 'U' THEN s.new_seg
+                WHEN s.op = 'I' THEN s.new_seg
+                ELSE b.c_mktsegment END AS c_mktsegment
+    FROM customer b FULL JOIN src s ON b.c_custkey = s.k
+    WHERE s.k IS NULL
+       OR (s.op = 'U' AND b.c_custkey IS NOT NULL)
+       OR (s.op = 'I' AND b.c_custkey IS NULL)
+    """,
+    tags=("pipeline", "merge"),
+)
+def merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full three-action MERGE in ONE full-outer join pass: WHEN MATCHED
+    AND op='D' THEN DELETE; WHEN MATCHED AND op='U' THEN UPDATE; WHEN NOT
+    MATCHED AND op='I' THEN INSERT; unmatched base rows pass through.
+    This is the physical plan a Delta/Iceberg MERGE lowers to (one
+    key-shuffled join + per-row CASE), minus file-level pruning. The
+    anti-join+union form (scd_upsert) re-shuffles twice; the full-outer
+    form is the single-shuffle shape you want when most of the base is
+    touched. Dangling actions (U on a missing key, D on a missing key)
+    drop out — the same no-op semantics SQL MERGE gives them."""
+    base = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    src = (
+        base.filter(k % 7 == 0)
+        .select(
+            k.alias("k"),
+            F.lit("D").alias("op"),
+            F.lit(None).cast("double").alias("new_bal"),
+            F.lit(None).cast("string").alias("new_seg"),
+        )
+        .unionByName(
+            base.filter(k % 7 == 1).select(
+                k.alias("k"),
+                F.lit("U").alias("op"),
+                F.round(F.col("c_acctbal") + 500, 2).alias("new_bal"),
+                F.lit("MERGED").alias("new_seg"),
+            )
+        )
+        .unionByName(
+            base.filter(k % 7 == 2).select(
+                (k + 2000000).alias("k"),
+                F.lit("I").alias("op"),
+                F.lit(0.0).alias("new_bal"),
+                F.lit("INSERTED").alias("new_seg"),
+            )
+        )
+    )
+    m = base.join(src, base["c_custkey"] == src["k"], "full_outer")
+    matched = base["c_custkey"].isNotNull()
+    # positive keep-conditions: NOT(op-based predicates) would go NULL on
+    # base-only rows (op IS NULL) and silently drop them — 3VL again
+    return (
+        m.filter(
+            F.col("k").isNull()
+            | ((F.col("op") == "U") & matched)
+            | ((F.col("op") == "I") & ~matched)
+        )
+        .select(
+            F.coalesce(base["c_custkey"], F.col("k")).alias("c_custkey"),
+            F.coalesce(F.col("c_name"), F.lit("Customer#new")).alias("c_name"),
+            F.when(F.col("op").isin("U", "I"), F.col("new_bal"))
+            .otherwise(F.round("c_acctbal", 2))
+            .alias("c_acctbal"),
+            F.when(F.col("op").isin("U", "I"), F.col("new_seg"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+        )
+    )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    ), cand AS (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             c.event_id AS click_id,
+             abs(date_diff('microseconds', c.ts, p.ts)) AS gap_us,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(date_diff('microseconds', c.ts, p.ts)), c.event_id
+             ) AS rn
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL '1 hour'
+       AND c.ts <= p.ts + INTERVAL '1 hour'
+    )
+    SELECT p.event_id AS purchase_id, p.user_id,
+           cand.click_id, cand.gap_us
+    FROM p LEFT JOIN cand
+      ON cand.purchase_id = p.event_id AND cand.rn = 1
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest' with a tolerance): each purchase pairs with the
+    click closest in time, before OR after, within ±1h — ties broken by
+    click id so the choice is total. Unmatched purchases survive with
+    NULLs (left semantics).
+
+    Scale: the tolerance bounds the candidate interval join (shuffles on
+    user_id), and the per-purchase rank is a window over at most the
+    clicks inside a 2h horizon — never a global sort. An unbounded
+    nearest search would instead take the min over the backward and
+    forward as-of results (two sorted passes, see operators/asof.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    gap = F.abs(F.unix_micros("p_ts") - F.unix_micros("c_ts"))
+    cand = (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .withColumn("gap_us", gap)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("purchase_id").orderBy("gap_us", "click_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "click_id", "gap_us")
+    )
+    return p.join(cand, "purchase_id", "left").select(
+        "purchase_id", "user_id", "click_id", "gap_us"
+    )
+
+
+@register(
+    "win_sliding_distinct",
+    oracle="""
+    WITH e AS (
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM e)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST((SELECT count(DISTINCT e.user_id) FROM e
+                 WHERE e.day BETWEEN d.day - INTERVAL '6 days' AND d.day)
+                AS BIGINT) AS n_active_7d,
+           CAST((SELECT count(DISTINCT e.user_id) FROM e
+                 WHERE e.day = d.day) AS BIGINT) AS n_active_1d
+    FROM days d
+    """,
+    tags=("window", "distinct", "scale"),
+)
+def win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window EXACT distinct (7-day active users per day) via
+    daily bitmaps — the composition of agg_bitmap_distinct with a RANGE
+    window: one daily (day, key>>6) bitmap layer, then bit_or over the
+    trailing 7-day RANGE frame per bucket and summed popcounts per day.
+    A RANGE (not ROWS) frame keeps missing days correct.
+
+    Why it matters at 100 TB: the naive form re-expands every (day,
+    user) pair 7 times (or worse, re-scans 7 days per day); the bitmap
+    form touches each event once, carries 8-byte cells, and the window
+    input is |days| x |keys|/64 rows — the exact-count analogue of the
+    'merge HLL sketches across time buckets' warehouse pattern. The
+    oracle is an INDEPENDENT construction (correlated count-distinct
+    ranges), so the equivalence is cross-checked, not replayed."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+    )
+    bit = F.expr("shiftleft(1L, CAST(user_id % 64 AS INT))")
+    daily = ev.groupBy(
+        "day", F.shiftright("user_id", 6).alias("bucket")
+    ).agg(F.bit_or(bit).alias("bm"))
+    day_num = F.datediff(F.col("day"), F.lit("2024-01-01"))
+    w7 = (
+        Window.partitionBy("bucket")
+        .orderBy(day_num)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    slid = daily.select(
+        "day",
+        "bucket",
+        F.bit_or("bm").over(w7).alias("bm7"),
+        F.col("bm").alias("bm1"),
+    )
+    return slid.groupBy("day").agg(
+        F.sum(F.bit_count("bm7")).alias("n_active_7d"),
+        F.sum(F.bit_count("bm1")).alias("n_active_1d"),
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_active_7d",
+        "n_active_1d",
+    )

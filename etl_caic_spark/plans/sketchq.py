@@ -22,7 +22,7 @@ is cheap enough to replay, so it gets a hash-matched oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_caic_spark.registry import register
@@ -200,3 +200,106 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("m"), F.lit(False)).alias("exact_member"),
         )
     )
+
+
+@register(
+    "sketch_histogram_quantile",
+    oracle="""
+    WITH src AS (SELECT o_totalprice AS p FROM orders),
+    h AS (
+      SELECT least(CAST(floor(p / 7812.5) AS BIGINT), 63) AS b,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM src GROUP BY 1
+    ),
+    cum AS (
+      SELECT b, cnt,
+             CAST(sum(cnt) OVER (ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS c,
+             CAST(sum(cnt) OVER () AS BIGINT) AS total
+      FROM h
+    ),
+    qs AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q),
+    est AS (
+      SELECT q,
+             b * 7812.5
+               + 7812.5 * (CAST(ceil(q * total) AS BIGINT) - (c - cnt))
+                 / cnt AS est
+      FROM qs JOIN cum
+        ON c >= CAST(ceil(q * total) AS BIGINT)
+       AND c - cnt < CAST(ceil(q * total) AS BIGINT)
+    ),
+    ex AS (
+      SELECT CAST(0.5 AS DOUBLE) AS q, round(quantile_cont(p, 0.5), 6) AS exact FROM src
+      UNION ALL
+      SELECT CAST(0.9 AS DOUBLE), round(quantile_cont(p, 0.9), 6) FROM src
+      UNION ALL
+      SELECT CAST(0.99 AS DOUBLE), round(quantile_cont(p, 0.99), 6) FROM src
+    )
+    SELECT est.q, est.est, ex.exact
+    FROM est JOIN ex ON est.q = ex.q
+    """,
+    tags=("sketch", "agg", "scale"),
+)
+def sketch_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles, fully oracled: a 64-bucket equi-width
+    histogram of o_totalprice (bucket width 7812.5 over [0, 500k] —
+    exactly representable, so bucketing is bit-identical), cumulated
+    once, then P50/P90/P99 estimated by linear interpolation inside the
+    covering bucket. The exact quantile_cont/percentile twin rides along
+    for the error comparison. This is how engines estimate NDV/quantile
+    stats from table histograms — the third hash-matched sketch family
+    after count-min and Bloom (the t-digest style sketch stays
+    approx-only as agg_approx_quantile).
+
+    Scale: ONE aggregation pass (64-cell partial-aggregatable groupBy) +
+    a 64-row window — vs exact quantiles which buffer and sort every
+    group. The exact twin here is the sf-scale correctness anchor."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("p"))
+    w = 7812.5
+    h = o.groupBy(
+        F.least(F.floor(F.col("p") / w).cast("bigint"), F.lit(63)).alias("b")
+    ).agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = h.select(
+        "b",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("c"),
+        F.sum("cnt").over(Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )).alias("total"),
+    )
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    t = F.ceil(F.col("q") * F.col("total")).cast("bigint")
+    est = (
+        qs.join(
+            F.broadcast(cum),
+            (F.col("c") >= F.ceil(F.col("q") * F.col("total")).cast("bigint"))
+            & (
+                (F.col("c") - F.col("cnt"))
+                < F.ceil(F.col("q") * F.col("total")).cast("bigint")
+            ),
+        )
+        .select(
+            "q",
+            (
+                F.col("b") * w
+                + w * (t - (F.col("c") - F.col("cnt"))) / F.col("cnt")
+            ).alias("est"),
+        )
+    )
+    ex = (
+        o.agg(
+            F.percentile("p", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias(
+                "_e"
+            )
+        )
+        .select(
+            F.posexplode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias(
+                "i", "q"
+            ),
+            F.col("_e"),
+        )
+        .select("q", F.round(F.element_at("_e", F.col("i") + 1), 6).alias("exact"))
+    )
+    return est.join(ex, "q")
