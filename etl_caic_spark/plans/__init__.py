@@ -86,6 +86,8 @@ _DRIVER_WINDOW = [
     "merge_full",
     "join_asof_nearest",
     "win_sliding_distinct",
+    "tpch_q7_shape",
+    "win_gaps_islands",
     # flagship + graph + time-series heavyweights (never driver-sampled)
     "corpus_curation_pipeline",
     "graph_pagerank",
@@ -111,8 +113,6 @@ _DRIVER_WINDOW = [
     "join_shuffle_hash",
     # streaming remainder (+ the new outer join)
     "stream_outer_join",
-    "stream_foreach_batch",
-    "stream_stateful_totals",
     "stream_python_datasource",
     # scans / formats
     "scan_partition_pruned",

@@ -238,3 +238,142 @@ def win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active_7d",
         "n_active_1d",
     )
+
+
+@register(
+    "tpch_q7_shape",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    GROUP BY 1, 2, 3
+    """,
+    tags=("headline", "join", "agg"),
+)
+def tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): a 6-way
+    join where the 25-row nation dim joins TWICE under different roles
+    and an OR-of-pairs predicate keeps both directions. Both nation
+    joins broadcast; the OR predicate sits above them so Catalyst can
+    still push the fact-side scan filters; the fact chain shuffles on
+    orderkey then custkey exactly like Q10. Revenue in integer cents —
+    order-independent group totals."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    cents = (
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    j = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+            cents,
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(F.sum("rev_cents").alias("cs"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "ship_year",
+            (F.col("cs") / 100.0).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "win_gaps_islands",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                                 AS DATE)) AS BIGINT) AS dn
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, dn,
+             dn - row_number() OVER (PARTITION BY user_id ORDER BY dn)
+               AS island
+      FROM d
+    ),
+    streaks AS (
+      SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM streaks
+    GROUP BY 1
+    """,
+    tags=("window", "sessionize"),
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over integer day numbers: consecutive-day
+    activity streaks per user via the classic dn - row_number() island
+    key (consecutive days share a constant difference). Sessionize
+    (sessionize_window) groups by TIME gaps; this is the integer-
+    sequence dual used for streak/retention analytics.
+
+    Scale: one distinct + one user-keyed window + two aggregations, all
+    shuffling on user_id once — AQE reuses the exchange. No joins, no
+    self-comparison; the window frame is the default running frame."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01"))
+            .cast("bigint")
+            .alias("dn"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("dn")
+    isl = d.select(
+        "user_id", "dn", (F.col("dn") - F.row_number().over(w)).alias("island")
+    )
+    streaks = isl.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.count("*").alias("n_streaks"),
+        F.max("len").alias("longest"),
+        F.sum("len").alias("active_days"),
+    )
