@@ -88,6 +88,7 @@ _DRIVER_WINDOW = [
     "win_sliding_distinct",
     "tpch_q7_shape",
     "win_gaps_islands",
+    "multimodal_wav_features",
     # flagship + graph + time-series heavyweights (never driver-sampled)
     "corpus_curation_pipeline",
     "graph_pagerank",
@@ -113,7 +114,6 @@ _DRIVER_WINDOW = [
     "join_shuffle_hash",
     # streaming remainder (+ the new outer join)
     "stream_outer_join",
-    "stream_python_datasource",
     # scans / formats
     "scan_partition_pruned",
 ]

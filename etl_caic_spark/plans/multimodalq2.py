@@ -452,3 +452,82 @@ def multimodal_gif_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     images are pinned by tests/test_codecs.py)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_gif_batches, _GIF_OUT)
+
+
+_WAVF_OUT = (
+    "doc_id bigint, n_samples int, energy bigint, peak int, zero_crossings int"
+)
+
+
+def _wav_feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from etl_caic_spark.operators.codecs import decode_wav, encode_wav
+
+    for pdf in it:
+        rows = []
+        for d in pdf["doc_id"].astype("int64"):
+            d = int(d)
+            n = d % 400 + 100
+            ch = 1 if d % 2 == 0 else 2
+            i = np.arange(n * ch, dtype=np.int64)
+            s = (((d * 31 + i * i * 7) % 65536) - 32768).astype(np.int16)
+            if ch == 2:
+                s = s.reshape(n, 2)
+            decoded, rate = decode_wav(encode_wav(s, rate=16000))
+            assert rate == 16000
+            ch0 = (decoded[:, 0] if decoded.ndim == 2 else decoded).astype(
+                np.int64
+            )
+            energy = int((ch0 * ch0).sum())
+            peak = int(np.abs(ch0).max())
+            zcr = int(((ch0[:-1] * ch0[1:]) < 0).sum())
+            rows.append((d, int(ch0.shape[0]), energy, peak, zcr))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_samples", "energy", "peak", "zero_crossings"],
+        )
+
+
+@register(
+    "multimodal_wav_features",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 400 + 100 AS n,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS ch
+      FROM documents
+    ),
+    ch0 AS (
+      SELECT doc_id, j,
+             ((doc_id * 31 + (j * ch) * (j * ch) * 7) % 65536) - 32768 AS s
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, n - 1)) AS j) g
+    ),
+    seq AS (
+      SELECT doc_id, s,
+             lag(s) OVER (PARTITION BY doc_id ORDER BY j) AS prev_s
+      FROM ch0
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_samples,
+           CAST(sum(s * s) AS BIGINT) AS energy,
+           CAST(max(abs(s)) AS INT) AS peak,
+           CAST(sum(CASE WHEN prev_s * s < 0 THEN 1 ELSE 0 END) AS INT)
+             AS zero_crossings
+    FROM seq GROUP BY doc_id
+    """,
+    tags=("multimodal", "codec", "udf"),
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over the REAL WAV codec: synthesize
+    closed-form PCM-16 clips, encode->decode through genuine RIFF/WAVE
+    bytes (operators/codecs.py), then compute channel-0 DSP features —
+    energy (sum of squares), peak amplitude, and zero-crossing count —
+    entirely in int64, so the oracle can replay them from the closed
+    form with zero float tolerance. The decode step is the part a real
+    pipeline runs; equality proves features were computed on losslessly
+    decoded samples, not on the synthetic shortcut.
+
+    Scale: mapInPandas (Arrow-batched) over binary payloads — the same
+    partition-parallel shape as multimodal_wav_codec; features are a
+    single numpy pass per clip, no Python-per-sample loops."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_wav_feature_batches, _WAVF_OUT)

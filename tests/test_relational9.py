@@ -54,3 +54,21 @@ def test_asof_nearest_is_nearest(spark, sf_dir):
         .first()["m"]
     )
     assert closer == worst["gap_us"]
+
+
+def _final_plan(df):
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_q7_broadcasts_nation_twice(spark, sf_dir):
+    plan = _final_plan(SPECS["tpch_q7_shape"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_sliding_distinct_plan_has_no_expand(spark, sf_dir):
+    plan = _final_plan(SPECS["win_sliding_distinct"].fn(spark, sf_dir))
+    assert "Expand" not in plan
+    assert "Window" in plan  # the RANGE-frame bit_or pass
