@@ -89,6 +89,8 @@ _DRIVER_WINDOW = [
     "tpch_q7_shape",
     "win_gaps_islands",
     "multimodal_wav_features",
+    "scan_dynamic_partition_pruning",
+    "lakehouse_log_replay",
     # flagship + graph + time-series heavyweights (never driver-sampled)
     "corpus_curation_pipeline",
     "graph_pagerank",
@@ -109,8 +111,6 @@ _DRIVER_WINDOW = [
     # scale patterns
     "agg_salted_skew",
     "join_bucketed",
-    "compact_small_files",
-    "layout_zorder",
     "join_shuffle_hash",
     # streaming remainder (+ the new outer join)
     "stream_outer_join",

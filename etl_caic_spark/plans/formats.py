@@ -342,3 +342,116 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents) / 100.0).alias("total"),
         )
     )
+
+
+@register(
+    "scan_dynamic_partition_pruning",
+    oracle="""
+    WITH pick AS (
+      SELECT DISTINCT year(o_orderdate) AS y
+      FROM orders WHERE o_orderkey % 9973 = 0
+    )
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS total
+    FROM orders JOIN pick ON year(o_orderdate) = pick.y
+    GROUP BY 1
+    """,
+    tags=("scan", "partition", "join", "scale"),
+)
+def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP) — the third pruning mechanism
+    after static PartitionFilters (scan_partition_pruned) and runtime
+    bloom filters (join_runtime_bloom): the partition keys to keep are
+    only known AFTER filtering the dimension side, so Spark plans a
+    dynamicpruning#N subquery that runs the dim filter first and prunes
+    the fact's partition directories before their IO. Asserted on the
+    plan in tests/test_formats.py.
+
+    At 100 TB this is the mechanism behind 'join a date-partitioned
+    fact to a filtered calendar dim and only touch the matching days' —
+    static pruning can't do it (the literal year set isn't in the
+    query) and bloom pruning works per-row, not per-directory."""
+    path = scratch_path("orders_dpp")
+    src = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    src.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 9973 == 0)
+        .select(F.year("o_orderdate").alias("y"))
+        .distinct()
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        fact.join(dim, fact["o_year"] == dim["y"])
+        .groupBy(fact["o_year"].cast("int").alias("o_year"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents) / 100.0).alias("total"),
+        )
+    )
+
+
+@register(
+    "lakehouse_log_replay",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS total
+    FROM orders
+    WHERE o_orderkey % 8 <> 4
+    GROUP BY 1
+    """,
+    tags=("scan", "lakehouse", "scale"),
+)
+def lakehouse_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-format transaction-log replay (the Delta/Iceberg snapshot
+    mechanism, minus the spec): orders are laid out as 8 immutable data
+    files; a deterministic action log (txn, add/remove, file) carries
+    three commits — initial adds, an append+delete, then a delete plus a
+    re-add. The CURRENT snapshot = per file, the LATEST action wins
+    (max_by over txn) and it must be an 'add'. The replay computes that
+    live set from the log relationally, then reads ONLY the live files.
+
+    Files f0..f7 hold o_orderkey % 8 slices; the log leaves f4 dead, so
+    the snapshot equals orders minus the %8==4 slice — the oracle states
+    that final set declaratively while the query derives it from the
+    log. Driver-side materialization is the live-PATH list only (file
+    count, not row count — the same bounded log replay every lakehouse
+    client performs)."""
+    import os
+
+    base = scratch_path("lakehouse_orders")
+    src = load_table(spark, sf_dir, "orders")
+    for i in range(8):
+        src.filter(F.col("o_orderkey") % 8 == i).write.mode("overwrite").parquet(
+            os.path.join(base, f"f{i}")
+        )
+    log = spark.createDataFrame(
+        [(1, "add", f"f{i}") for i in range(6)]
+        + [(2, "add", "f6"), (2, "add", "f7"), (2, "remove", "f1")]
+        + [(3, "remove", "f4"), (3, "add", "f1")],
+        "txn int, action string, file string",
+    )
+    live = (
+        log.groupBy("file")
+        .agg(F.max_by("action", "txn").alias("last_action"))
+        .filter(F.col("last_action") == "add")
+    )
+    paths = [
+        os.path.join(base, r["file"]) for r in live.select("file").collect()
+    ]
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        spark.read.parquet(*sorted(paths))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents) / 100.0).alias("total"),
+        )
+    )

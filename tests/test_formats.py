@@ -29,3 +29,15 @@ def test_roundtrips_preserve_rowcount(spark, sf_dir):
     )
     for name in ("sink_csv_roundtrip", "sink_jsonl_roundtrip", "sink_orc_roundtrip"):
         assert all_specs()[name].fn(spark, sf_dir).count() == src_n, name
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    from etl_caic_spark.registry import all_specs
+
+    df = all_specs()["scan_dynamic_partition_pruning"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the fact scan's PartitionFilters must carry the join-driven
+    # dynamicpruning subquery — directory-level IO skipping at run time
+    assert "dynamicpruningexpression" in plan
+    assert "dynamicpruning#" in plan
