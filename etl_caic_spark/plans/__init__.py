@@ -91,6 +91,8 @@ _DRIVER_WINDOW = [
     "multimodal_wav_features",
     "scan_dynamic_partition_pruning",
     "lakehouse_log_replay",
+    "lakehouse_time_travel",
+    "sink_python_datasource",
     # flagship + graph + time-series heavyweights (never driver-sampled)
     "corpus_curation_pipeline",
     "graph_pagerank",
@@ -101,8 +103,6 @@ _DRIVER_WINDOW = [
     "funnel_stages",
     "win_pattern_purchase_error",
     # subqueries + TPC-H shapes
-    "subquery_scalar",
-    "subquery_in",
     "subquery_exists_correlated",
     "subquery_lateral_topn",
     "tpch_q3_shape",

@@ -455,3 +455,94 @@ def lakehouse_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents) / 100.0).alias("total"),
         )
     )
+
+
+@register(
+    "lakehouse_time_travel",
+    oracle="""
+    SELECT 2 AS as_of_txn, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderkey % 8 <> 1
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT 3, o_orderstatus, CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_orderkey % 8 <> 4
+    GROUP BY 1, 2
+    """,
+    tags=("scan", "lakehouse"),
+)
+def lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the lakehouse_log_replay transaction log: the
+    snapshot AS OF txn N replays only actions with txn <= N. As of txn 2
+    the f1 delete is live (f1 absent, f4 present); as of txn 3 the
+    re-add of f1 and the f4 delete both apply. Both snapshots come from
+    the SAME immutable data files — time travel is purely a log-replay
+    cutoff, which is exactly how Delta/Iceberg implement VERSION AS OF.
+
+    Scale: per-version cost is the log replay (rows = #actions) plus IO
+    for that version's live files only."""
+    import os
+
+    base = scratch_path("lakehouse_orders_tt")
+    src = load_table(spark, sf_dir, "orders")
+    for i in range(8):
+        src.filter(F.col("o_orderkey") % 8 == i).write.mode("overwrite").parquet(
+            os.path.join(base, f"f{i}")
+        )
+    log = spark.createDataFrame(
+        [(1, "add", f"f{i}") for i in range(6)]
+        + [(2, "add", "f6"), (2, "add", "f7"), (2, "remove", "f1")]
+        + [(3, "remove", "f4"), (3, "add", "f1")],
+        "txn int, action string, file string",
+    )
+
+    def snapshot(as_of: int):
+        live = (
+            log.filter(F.col("txn") <= as_of)
+            .groupBy("file")
+            .agg(F.max_by("action", "txn").alias("last_action"))
+            .filter(F.col("last_action") == "add")
+        )
+        paths = [
+            os.path.join(base, r["file"]) for r in live.select("file").collect()
+        ]
+        return (
+            spark.read.parquet(*sorted(paths))
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.lit(as_of).alias("as_of_txn"),
+                "o_orderstatus",
+                "n",
+            )
+        )
+
+    return snapshot(2).unionByName(snapshot(3))
+
+
+@register(
+    "sink_python_datasource",
+    oracle=_ROUNDTRIP_ORACLE,
+    tags=("sink", "datasource"),
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write through a CUSTOM Python DataSource WRITER (Spark 4
+    `DataSourceWriter`, sources/pyds.py JsonlSinkDataSource) and read
+    the files back with an explicit schema — the sink-side twin of
+    source_python_datasource, completing the custom-connector surface
+    (batch read / stream read / batch write). Each task writes a temp
+    file and the driver-side commit() promotes them — the two-phase
+    protocol that makes a custom sink exactly-once per job even under
+    task retries/speculation. Doubles survive the JSON text roundtrip
+    exactly (shortest-repr serialization both ways), so the standard
+    roundtrip oracle hash-matches."""
+    import shutil
+
+    from etl_caic_spark.sources.pyds import register_jsonlsink
+
+    register_jsonlsink(spark)
+    out = scratch_path("jsonlsink_out")
+    shutil.rmtree(out, ignore_errors=True)
+    src = _roundtrip_src(spark, sf_dir)
+    src.write.format("jsonlsink").option("path", out).mode("overwrite").save()
+    return spark.read.schema(_ROUNDTRIP_SCHEMA).json(out)

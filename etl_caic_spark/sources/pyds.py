@@ -18,12 +18,25 @@ equal-sized regardless of n.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
+
+
+@dataclass
+class JsonlCommit(WriterCommitMessage):
+    """Task-attempt result: temp file to promote, final name, row count."""
+
+    tmp: str
+    final: str
+    rows: int
 
 # Knuth's multiplicative hash constant; id < ~4e9 keeps id*K < 2^63.
 _K = 2654435761
@@ -99,3 +112,86 @@ class SynthSeqStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start, end):
         return self._rows(start["pos"], end["pos"])
+
+
+class JsonlSinkDataSource(DataSource):
+    """`df.write.format("jsonlsink").option("path", p).mode(...).save()` —
+    a custom Python DataSource WRITER (Spark 4 `DataSourceWriter`): the
+    sink-side twin of SynthSeqDataSource's reader, completing the
+    custom-connector surface (batch read / stream read / batch write).
+
+    The full two-phase commit protocol is implemented: each task writes
+    its partition to a hidden temp file and returns the pair in its
+    WriterCommitMessage; only the driver-side commit() renames temps to
+    final names, and abort() deletes them — so a failed/speculated task
+    attempt can never leave a half-visible file. That protocol, not the
+    serialization, is the point of a writer API: it is what makes the
+    sink exactly-once per job on any shared filesystem (local mode here;
+    object storage with atomic rename/put on a cluster)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlsink"
+
+    def schema(self) -> str:  # not used for writes; required by the API
+        return "id bigint"
+
+    def writer(self, schema, overwrite: bool) -> "JsonlWriter":
+        return JsonlWriter(self.options, schema, overwrite)
+
+
+class JsonlWriter(DataSourceWriter):
+    def __init__(self, options, schema, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonlsink requires .option('path', ...)")
+        self.fields = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(
+                    _json.dumps(dict(zip(self.fields, row)), sort_keys=True)
+                )
+                fh.write("\n")
+                n += 1
+        final = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        return JsonlCommit(tmp=tmp, final=final, rows=n)
+
+    def commit(self, messages):
+        import os
+        import shutil
+
+        if self.overwrite:
+            keep = {m.tmp for m in messages if m is not None}
+            for name in os.listdir(self.path):
+                p = os.path.join(self.path, name)
+                if p not in keep and not name.startswith(".tmp-"):
+                    (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+        for m in messages:
+            if m is not None:
+                os.replace(m.tmp, m.final)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages or []:
+            if m is not None and os.path.exists(m.tmp):
+                os.remove(m.tmp)
+
+
+def register_jsonlsink(spark) -> None:
+    """Idempotent registration of the sink with a session."""
+    spark.dataSource.register(JsonlSinkDataSource)

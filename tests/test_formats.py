@@ -41,3 +41,33 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     # dynamicpruning subquery — directory-level IO skipping at run time
     assert "dynamicpruningexpression" in plan
     assert "dynamicpruning#" in plan
+
+
+def test_jsonl_writer_two_phase_commit(tmp_path):
+    """The writer's commit protocol, exercised directly: data is invisible
+    until commit() promotes the temp file; abort() leaves nothing."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from etl_caic_spark.sources.pyds import JsonlWriter
+
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    path = str(tmp_path / "out")
+
+    w = JsonlWriter({"path": path}, schema, overwrite=False)
+    msg = w.write(iter([(1, "x"), (2, "y")]))
+    assert os.path.exists(msg.tmp) and not os.path.exists(msg.final)
+    assert msg.rows == 2
+    w.commit([msg])
+    assert os.path.exists(msg.final) and not os.path.exists(msg.tmp)
+    with open(msg.final) as fh:
+        assert fh.read() == '{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n'
+
+    m2 = w.write(iter([(3, "z")]))
+    w.abort([m2])
+    assert not os.path.exists(m2.tmp)
+    # the committed file from the first job is untouched by the abort
+    assert os.path.exists(msg.final)
