@@ -93,6 +93,7 @@ _DRIVER_WINDOW = [
     "lakehouse_log_replay",
     "lakehouse_time_travel",
     "sink_python_datasource",
+    "join_interval_overlap",
     # flagship + graph + time-series heavyweights (never driver-sampled)
     "corpus_curation_pipeline",
     "graph_pagerank",
@@ -103,7 +104,6 @@ _DRIVER_WINDOW = [
     "funnel_stages",
     "win_pattern_purchase_error",
     # subqueries + TPC-H shapes
-    "subquery_exists_correlated",
     "subquery_lateral_topn",
     "tpch_q3_shape",
     "tpch_q5_shape",

@@ -377,3 +377,84 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("longest"),
         F.sum("len").alias("active_days"),
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT event_id AS purchase_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+             epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e
+      FROM events WHERE event_type = 'purchase' AND user_id < 10
+    ),
+    b AS (
+      SELECT event_id AS error_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+             epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e
+      FROM events WHERE event_type = 'error' AND user_id >= 140
+    )
+    SELECT a.purchase_id, b.error_id,
+           least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+    FROM a JOIN b ON a.s < b.e AND b.s < a.e
+    """,
+    tags=("join", "interval", "scale"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact interval-overlap join WITHOUT a shared key — the
+    case neither an equi-join nor the broadcast theta join (join_range)
+    covers at scale: 30-minute purchase windows of one user population
+    against error episodes of a DISJOINT population. Each interval
+    explodes to the 30-minute buckets it covers (<=2 here), the join is
+    an equi-join on bucket, duplicate bucket hits collapse via distinct,
+    and the exact open-interval predicate verifies. The 1-D sibling of
+    geo_grid_join's bin-and-verify; the oracle is the quadratic
+    all-pairs join.
+
+    Scale: shuffle keys are time buckets, so co-occurring intervals
+    co-locate; bucket width trades explode factor against bucket
+    occupancy exactly like eps in the spatial grid. Overlap durations
+    are exact integer microseconds (unix_micros == epoch_us)."""
+    _W_US = 1_800_000_000  # 30 minutes
+    ev = load_table(spark, sf_dir, "events")
+
+    def intervals(etype, ufilter, idname):
+        return (
+            ev.filter((F.col("event_type") == etype) & ufilter)
+            .select(
+                F.col("event_id").alias(idname),
+                F.unix_micros("ts").alias("s"),
+                (F.unix_micros("ts") + _W_US).alias("e"),
+            )
+        )
+
+    a = intervals("purchase", F.col("user_id") < 10, "purchase_id")
+    b = intervals("error", F.col("user_id") >= 140, "error_id")
+
+    def binned(df):
+        return df.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("s") / _W_US),
+                    F.floor((F.col("e") - 1) / _W_US),
+                )
+            ),
+        )
+
+    ba = binned(a).select("purchase_id", F.col("s").alias("a_s"),
+                          F.col("e").alias("a_e"), "bucket")
+    bb = binned(b).select("error_id", F.col("s").alias("b_s"),
+                          F.col("e").alias("b_e"), "bucket")
+    return (
+        ba.join(bb, "bucket")
+        .filter((F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e")))
+        .select(
+            "purchase_id",
+            "error_id",
+            (
+                F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
+            ).alias("overlap_us"),
+        )
+        .distinct()
+    )
