@@ -94,6 +94,7 @@ _DRIVER_WINDOW = [
     "lakehouse_time_travel",
     "sink_python_datasource",
     "join_interval_overlap",
+    "agg_decimal_exact",
     # flagship + graph + time-series heavyweights (never driver-sampled)
     "corpus_curation_pipeline",
     "graph_pagerank",
@@ -102,7 +103,6 @@ _DRIVER_WINDOW = [
     "ts_time_weighted_avg",
     "ts_gapfill_locf",
     "funnel_stages",
-    "win_pattern_purchase_error",
     # subqueries + TPC-H shapes
     "subquery_lateral_topn",
     "tpch_q3_shape",

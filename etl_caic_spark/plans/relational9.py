@@ -458,3 +458,47 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "agg_decimal_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS total,
+           CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS max_price,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))
+                    * CAST(0.08 AS DECIMAL(4,2))) AS DOUBLE) AS tax
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("agg", "decimal"),
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money math in DECIMAL end-to-end — the type surface every
+    warehouse query uses for currency and the one place double rounding
+    tricks are NOT needed: sums, max, and a fixed-point tax multiply all
+    stay exact by construction, on both engines, at any summation order.
+    The source doubles are 2-decimal prices, so the initial cast is
+    exact. The final results cross the driver boundary as DOUBLE (the
+    same convention timestamps use as formatted strings): every value is
+    well under 2^53 at its scale, so the decimal->double conversion is
+    exact and both engines emit identical bits — the decimal arithmetic
+    itself stays the computation type.
+
+    Scale: decimal aggregation partial-aggregates like longs (Spark
+    stores small-precision decimals as unscaled longs in Tungsten); the
+    cost over BIGINT cents is the wider overflow check, the benefit is
+    schema-carried scale instead of convention-carried."""
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(12,2)")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(p).cast("double").alias("total"),
+        F.max(p).cast("double").alias("max_price"),
+        F.sum(p * F.lit("0.08").cast("decimal(4,2)"))
+        .cast("double")
+        .alias("tax"),
+    )

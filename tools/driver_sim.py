@@ -61,7 +61,11 @@ def type_mismatches(con, oracle_sql, spark_dtypes):
         dt = duck_types.get(col)
         if dt is None:
             continue
-        if DUCK_TO_SPARK.get(dt, dt) != st.replace("timestamp_ntz", "timestamp"):
+        # unmapped types (e.g. DECIMAL(38,2)) compare case-insensitively —
+        # DuckDB upper-cases them, Spark simpleString lower-cases
+        if DUCK_TO_SPARK.get(dt, dt.lower()) != st.replace(
+            "timestamp_ntz", "timestamp"
+        ):
             out.append(f"{col}: spark={st} duck={dt}")
     return out
 
