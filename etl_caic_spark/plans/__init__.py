@@ -45,6 +45,8 @@ from etl_caic_spark.plans import relational8  # noqa: F401,E402
 from etl_caic_spark.plans import geoq  # noqa: F401,E402
 from etl_caic_spark.plans import sketchq  # noqa: F401,E402
 from etl_caic_spark.plans import relational9  # noqa: F401,E402
+from etl_caic_spark.plans import relational10  # noqa: F401,E402
+from etl_caic_spark.plans import llm5  # noqa: F401,E402
 
 # Driver window (positions 0..49). Families with no driver row yet come
 # first; the last slots are stable core representatives (canaries).
@@ -95,23 +97,28 @@ _DRIVER_WINDOW = [
     "sink_python_datasource",
     "join_interval_overlap",
     "agg_decimal_exact",
+    # late-round-5 wave 10/11 — new FAMILIES, driver must see them once
+    # (the family-sibling queries they displace — tpch_q3/q5/q18,
+    # join_shuffle_hash, agg_salted_skew, funnel_stages, ts_gapfill_locf,
+    # ts_time_weighted_avg — stay green in the identical local oracle and
+    # rotate back in round 6)
+    "sketch_kmv_distinct",
+    "text_boilerplate_ngrams",
+    "dedup_normalized_exact",
+    "ts_ewma",
+    "ts_resample_ohlc",
+    "feat_target_encode",
+    "feat_scale_robust",
+    "graph_degree_topk",
     # flagship + graph + time-series heavyweights (never driver-sampled)
     "corpus_curation_pipeline",
     "graph_pagerank",
     "graph_triangles",
     "rollup_timeseries",
-    "ts_time_weighted_avg",
-    "ts_gapfill_locf",
-    "funnel_stages",
-    # subqueries + TPC-H shapes
+    # subqueries
     "subquery_lateral_topn",
-    "tpch_q3_shape",
-    "tpch_q5_shape",
-    "tpch_q18_shape",
     # scale patterns
-    "agg_salted_skew",
     "join_bucketed",
-    "join_shuffle_hash",
     # streaming remainder (+ the new outer join)
     "stream_outer_join",
     # scans / formats
