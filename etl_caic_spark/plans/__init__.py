@@ -47,6 +47,7 @@ from etl_caic_spark.plans import sketchq  # noqa: F401,E402
 from etl_caic_spark.plans import relational9  # noqa: F401,E402
 from etl_caic_spark.plans import relational10  # noqa: F401,E402
 from etl_caic_spark.plans import llm5  # noqa: F401,E402
+from etl_caic_spark.plans import tpchq  # noqa: F401,E402
 
 # Driver window (positions 0..49). Families with no driver row yet come
 # first; the last slots are stable core representatives (canaries).
@@ -76,7 +77,7 @@ _DRIVER_WINDOW = [
     "agg_bitmap_distinct",
     "agg_filter_clause",
     "subquery_not_in_nulls",
-    "tpch_q10_shape",
+    "tpch_q21_shape",
     "cdc_apply_changes",
     "geo_grid_join",
     "ts_interpolate_linear",
@@ -88,7 +89,7 @@ _DRIVER_WINDOW = [
     "merge_full",
     "join_asof_nearest",
     "win_sliding_distinct",
-    "tpch_q7_shape",
+    "tpch_q2_shape",
     "win_gaps_islands",
     "multimodal_wav_features",
     "scan_dynamic_partition_pruning",
@@ -101,7 +102,10 @@ _DRIVER_WINDOW = [
     # (the family-sibling queries they displace — tpch_q3/q5/q18,
     # join_shuffle_hash, agg_salted_skew, funnel_stages, ts_gapfill_locf,
     # ts_time_weighted_avg — stay green in the identical local oracle and
-    # rotate back in round 6)
+    # rotate back in round 6). The TPC-H completion wave sends its two
+    # most distinctive shapes (q2 argmin join-back, q21 grouped-window
+    # anti-semantics) in place of family siblings q10/q7; the other 11
+    # new tpch_q*_shape queries rotate in round 6.
     "sketch_kmv_distinct",
     "text_boilerplate_ngrams",
     "dedup_normalized_exact",
