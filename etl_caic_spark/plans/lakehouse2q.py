@@ -1,0 +1,157 @@
+"""Wave 13 (round 5, cont.): two more lakehouse-format mechanisms —
+file-level min/max stats skipping and position-based deletion vectors —
+completing the table-format family (log replay, time travel, compaction,
+Z-order, dynamic partition overwrite already registered in
+plans/formats.py / scaleq.py).
+
+Both follow lakehouse_log_replay's proof style: the Spark query derives
+the result THROUGH the mechanism (stats pruning / DV anti-join) over
+deterministic scratch files, while the DuckDB oracle states the final
+visible set declaratively — a hash match proves the mechanism selects
+exactly the right rows. Driver-side materialization is bounded metadata
+only (file paths / file stats), same as every lakehouse client.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_caic_spark.registry import register
+from etl_caic_spark.sources import load_table
+from etl_caic_spark.util import scratch_path
+
+# 8 value-band files over o_totalprice (fixture range ~1e3..5e5).
+_BAND = 62_500
+
+
+@register(
+    "lakehouse_stats_skipping",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_totalprice >= 150000 AND o_totalprice < 220000
+    GROUP BY 1
+    """,
+    tags=("scan", "lakehouse", "scale"),
+)
+def lakehouse_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level min/max stats skipping (the Delta/Iceberg data-skipping
+    mechanism, minus the spec): orders are laid out as 8 immutable files
+    banded by o_totalprice; at write time each file's (min, max) of the
+    band column is recorded in a stats table — exactly what a format's
+    add-file entry carries. The query's range predicate is answered by
+    FIRST pruning the stats table (file survives iff its [min,max]
+    interval intersects the predicate range) and only then reading the
+    surviving files, with the residual filter applied to handle partial
+    overlap at the band edges. The oracle ignores files entirely and
+    filters the raw table — the hash match proves pruning lost no rows
+    and leaked none. tests/test_lakehouse2.py additionally asserts the
+    pruned file count (2 of 8). At 100 TB this is THE mechanism that
+    turns a full-table scan into a few-file read; the stats table is
+    O(files) and lives on the driver like any snapshot manifest."""
+    base = scratch_path("lakehouse_stats_orders")
+    src = load_table(spark, sf_dir, "orders")
+    band = F.least(F.floor(F.col("o_totalprice") / _BAND), F.lit(7)).cast("int")
+    stats_rows = []
+    for i in range(8):
+        part = src.filter(band == i)
+        path = os.path.join(base, f"f{i}")
+        part.write.mode("overwrite").parquet(path)
+        mn, mx = part.agg(
+            F.min("o_totalprice"), F.max("o_totalprice")
+        ).first()
+        stats_rows.append((f"f{i}", float(mn), float(mx)))
+    lo, hi = 150_000.0, 220_000.0
+    live = [
+        os.path.join(base, f)
+        for (f, mn, mx) in stats_rows
+        if mx >= lo and mn < hi  # interval intersects [lo, hi)
+    ]
+    return (
+        spark.read.parquet(*sorted(live))
+        .filter((F.col("o_totalprice") >= lo) & (F.col("o_totalprice") < hi))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "total_cents"
+            ),
+        )
+    )
+
+
+def pruned_file_count(sf_dir: str, lo: float, hi: float) -> tuple[int, int]:
+    """Test hook: (survivors, total) for a predicate range against the
+    stats table written by lakehouse_stats_skipping's layout."""
+    n_live = sum(
+        1
+        for i in range(8)
+        if (i + 1) * _BAND > lo and i * _BAND < hi  # band interval math
+    )
+    return n_live, 8
+
+
+@register(
+    "lakehouse_delete_vectors",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    WHERE NOT (o_orderkey % 7 = 3 AND o_orderstatus = 'F')
+    GROUP BY 1, 2
+    """,
+    tags=("scan", "lakehouse", "scale"),
+)
+def lakehouse_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based deletion vectors (the Delta DV / Iceberg v2
+    position-delete mechanism): the base table is 4 immutable files with
+    a STABLE in-file row position (row_number over o_orderkey within the
+    file — the write order, persisted so positions survive re-reads); a
+    merge-on-read DELETE of finished %7==3 orders produces (file, pos)
+    tombstones WITHOUT rewriting data files. The read path re-derives
+    positions and LEFT ANTI joins the deletion vector on (file, pos) —
+    never on the business key, which is the point: DVs delete physical
+    rows, so the mechanism works even for tables with duplicate keys.
+    The oracle applies the DELETE predicate declaratively — the hash
+    match proves position bookkeeping is exact. At 100 TB DVs are tiny
+    per-file bitmaps broadcast to the scan; the anti join here is the
+    relational statement of that bitmap filter."""
+    base = scratch_path("lakehouse_dv_orders")
+    src = load_table(spark, sf_dir, "orders")
+    for i in range(4):
+        (
+            src.filter(F.col("o_orderkey") % 4 == i)
+            .orderBy("o_orderkey")
+            .write.mode("overwrite")
+            .parquet(os.path.join(base, f"f{i}"))
+        )
+    from pyspark.sql import Window
+
+    def with_pos(df: DataFrame, fname: str) -> DataFrame:
+        w = Window.orderBy("o_orderkey")
+        return df.select(
+            F.lit(fname).alias("file"),
+            (F.row_number().over(w) - 1).alias("pos"),
+            "*",
+        )
+
+    parts = [
+        with_pos(
+            spark.read.parquet(os.path.join(base, f"f{i}")), f"f{i}"
+        )
+        for i in range(4)
+    ]
+    table = parts[0]
+    for p in parts[1:]:
+        table = table.unionByName(p)
+    dv = table.filter(
+        (F.col("o_orderkey") % 7 == 3) & (F.col("o_orderstatus") == "F")
+    ).select("file", "pos")
+    visible = table.join(dv, ["file", "pos"], "left_anti")
+    return visible.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )

@@ -531,3 +531,78 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     single numpy pass per clip, no Python-per-sample loops."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_wav_feature_batches, _WAVF_OUT)
+
+
+_IMGSTATS_OUT = (
+    "doc_id bigint, channel int, n_px bigint, ch_sum bigint, "
+    "ch_min int, ch_max int"
+)
+
+
+def _image_stats_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from etl_caic_spark.operators.codecs import decode_png, encode_png
+
+    for pdf in it:
+        rows = []
+        for d in pdf["doc_id"].astype("int64"):
+            d = int(d)
+            if d % 2 == 0:
+                continue  # RGB docs only (odd doc_ids, per the png family)
+            w, h = d % 24 + 8, d % 16 + 8
+            i = np.arange(w * h * 3, dtype=np.int64)
+            px = ((d * 2654435761 + i * 1103515245 + 12345) % 256).astype(
+                np.uint8
+            )
+            img = decode_png(encode_png(px.reshape(h, w, 3)))
+            flat = img.astype(np.int64)
+            for c in range(3):
+                ch = flat[:, :, c]
+                rows.append(
+                    (d, c, int(ch.size), int(ch.sum()), int(ch.min()),
+                     int(ch.max()))
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "channel", "n_px", "ch_sum", "ch_min", "ch_max"],
+        )
+
+
+@register(
+    "multimodal_image_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    px AS (
+      SELECT doc_id, CAST(i % 3 AS INT) AS channel,
+             (doc_id * 2654435761 + i * 1103515245 + 12345) % 256 AS p
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w*h*3 - 1)) AS i) g
+    )
+    SELECT doc_id, channel,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(p) AS BIGINT) AS ch_sum,
+           CAST(min(p) AS INT) AS ch_min,
+           CAST(max(p) AS INT) AS ch_max
+    FROM px GROUP BY 1, 2
+    """,
+    tags=("multimodal", "codec", "udf"),
+)
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel image statistics over the REAL PNG roundtrip: for
+    each RGB document image (odd doc_ids, same closed-form pixel
+    function as multimodal_png_codec), encode->decode through genuine
+    PNG bytes, split channels, and emit count/sum/min/max per channel —
+    the normalize-prep statistics (channel means for whitening) an image
+    training pipeline computes corpus-wide. The decoded array is
+    interleaved RGB, so channel c is flat index i with i%3==c — the
+    oracle states exactly that over the closed form; a channel-order or
+    interleave slip in the codec would mis-assign every channel and
+    hash-mismatch.
+
+    Scale: mapInPandas over the documents scan, one numpy slice per
+    channel, no shuffle before the per-image emit; corpus-wide channel
+    means would add one tiny map-side-combinable aggregate on top."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_image_stats_batches, _IMGSTATS_OUT)

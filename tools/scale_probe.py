@@ -226,6 +226,56 @@ def main():
                     .select("user_id", "value")
                 )
             ),
+            # r5 TPC-H completion wave — the three riskiest new patterns,
+            # inlined against the replicated fact so the probe measures
+            # the plan shape, not the fixture size:
+            # Q21: aggregate-then-window (one shuffle each, never a
+            # lineitem self-join);
+            "q21_grouped_window": timeit(
+                lambda: noop(
+                    li.groupBy("l_orderkey", "l_suppkey")
+                    .agg(F.max("l_shipdate").alias("sup_last"))
+                    .withColumn(
+                        "ord_last",
+                        F.max("sup_last").over(W.partitionBy("l_orderkey")),
+                    )
+                    .withColumn(
+                        "n_supp", F.count("*").over(W.partitionBy("l_orderkey"))
+                    )
+                    .filter(
+                        (F.col("n_supp") >= 2)
+                        & (F.col("sup_last") == F.col("ord_last"))
+                    )
+                    .groupBy("l_suppkey")
+                    .agg(F.count("*").alias("numwait"))
+                )
+            ),
+            # Q17: decorrelated per-part average joined back to the fact
+            # (both sides share partkey partitioning);
+            "q17_avg_joinback": timeit(
+                lambda: noop(
+                    li.join(
+                        li.groupBy(F.col("l_partkey").alias("pk")).agg(
+                            F.avg("l_quantity").alias("avg_qty")
+                        ),
+                        F.col("pk") == F.col("l_partkey"),
+                    )
+                    .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+                    .agg(F.sum("l_extendedprice"), F.count("*"))
+                )
+            ),
+            # Q2: argmin join-back (groupBy-min + equality re-join).
+            "q2_argmin_joinback": timeit(
+                lambda: noop(
+                    li.join(
+                        li.groupBy(F.col("l_partkey").alias("pk")).agg(
+                            F.min("l_extendedprice").alias("best")
+                        ),
+                        (F.col("pk") == F.col("l_partkey"))
+                        & (F.col("l_extendedprice") == F.col("best")),
+                    ).select("l_partkey", "l_suppkey", "best")
+                )
+            ),
             "pagerank": timeit(
                 lambda: noop(
                     pagerank(
