@@ -56,6 +56,15 @@ from etl_caic_spark.plans import geo2q  # noqa: F401,E402
 
 # Driver window (positions 0..49). Families with no driver row yet come
 # first; the last slots are stable core representatives (canaries).
+# Late-round-5 recuration: waves 12-16 (TPC-H completion, exact OLS,
+# quantile binning, bigram LM, stats skipping, deletion vectors, image
+# stats, weighted SSSP, haversine kNN, skew/kurtosis, DQ suite, KMV set
+# ops, span dedup, weighted sampling, point-in-polygon, retention
+# cohorts) each take one slot from an EARLIER round-5 family sibling
+# (bloom/histogram sketches, gif codec, interpolate/ohlc/ewma ts, log
+# replay, scale_robust, degree/triangles graph, boilerplate/normalized
+# text, decimal agg, gaps-islands) — those stay green in the identical
+# local oracle and rotate back in round 6.
 # Round-5 edit: (a) every query CHANGED or ADDED this round leads the
 # window so the driver verifies it — the re-oracled flagship/sampling/LSH
 # queries, the codec and skew-join additions, and the late-round-5 wave
@@ -77,7 +86,7 @@ _DRIVER_WINDOW = [
     "dedup_minhash_md5",
     "dedup_simhash_md5",
     "sim_topk_ivf_exact",
-    "multimodal_gif_codec",
+    "multimodal_image_stats",
     # new this round (wave 8 + geo/graph/ts/sink additions)
     "agg_bitmap_distinct",
     "agg_filter_clause",
@@ -85,24 +94,24 @@ _DRIVER_WINDOW = [
     "tpch_q21_shape",
     "cdc_apply_changes",
     "geo_grid_join",
-    "ts_interpolate_linear",
+    "ts_retention_cohorts",
     "graph_bfs_hops",
     "sink_partition_overwrite",
-    "sketch_countmin_freq",
-    "sketch_bloom_membership",
-    "sketch_histogram_quantile",
+    "dq_constraint_suite",
+    "sketch_kmv_setops",
+    "stat_linreg_group",
     "merge_full",
     "join_asof_nearest",
     "win_sliding_distinct",
     "tpch_q2_shape",
-    "win_gaps_islands",
+    "geo_haversine_knn",
     "multimodal_wav_features",
     "scan_dynamic_partition_pruning",
-    "lakehouse_log_replay",
+    "lakehouse_delete_vectors",
     "lakehouse_time_travel",
     "sink_python_datasource",
     "join_interval_overlap",
-    "agg_decimal_exact",
+    "agg_skew_kurtosis",
     # late-round-5 wave 10/11 — new FAMILIES, driver must see them once
     # (the family-sibling queries they displace — tpch_q3/q5/q18,
     # join_shuffle_hash, agg_salted_skew, funnel_stages, ts_gapfill_locf,
@@ -112,17 +121,17 @@ _DRIVER_WINDOW = [
     # anti-semantics) in place of family siblings q10/q7; the other 11
     # new tpch_q*_shape queries rotate in round 6.
     "sketch_kmv_distinct",
-    "text_boilerplate_ngrams",
-    "dedup_normalized_exact",
-    "ts_ewma",
-    "ts_resample_ohlc",
+    "text_span_dedup",
+    "sample_weighted_topk",
+    "text_bigram_logprob",
+    "lakehouse_stats_skipping",
     "feat_target_encode",
-    "feat_scale_robust",
-    "graph_degree_topk",
+    "feat_bin_quantile",
+    "graph_sssp_weighted",
     # flagship + graph + time-series heavyweights (never driver-sampled)
     "corpus_curation_pipeline",
     "graph_pagerank",
-    "graph_triangles",
+    "geo_point_in_polygon",
     "rollup_timeseries",
     # subqueries
     "subquery_lateral_topn",

@@ -215,3 +215,62 @@ def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_size",
         F.round(F.col("n_active") / F.col("cohort_size"), 4).alias("retention"),
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+      SELECT nullif(user_id % 50, 13) AS lkey,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    dim AS (
+      SELECT DISTINCT nullif(o_custkey % 50, 13) AS rkey,
+             'b' || CAST(coalesce(nullif(o_custkey % 50, 13), -1) AS VARCHAR)
+               AS bucket_label
+      FROM orders
+    )
+    SELECT bucket_label, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM l JOIN dim ON lkey IS NOT DISTINCT FROM rkey
+    GROUP BY 1
+    """,
+    tags=("join",),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): bucket 13
+    is nulled on BOTH sides, and the null-safe predicate matches the
+    NULL fact rows to the NULL dimension row — a plain equi-join would
+    silently drop them (NULL = NULL is NULL), which is the classic
+    silent-data-loss bug in dimension joins with 'unknown' members.
+    Spark plans <=> as a hash join on a null-tolerant key (NOT a
+    cartesian residual), so the 100 TB cost is identical to the plain
+    join; the dimension broadcasts. Completes the join-variant surface
+    (inner/outer/semi/anti/cross/range/asof/interval/bucketed/salted/
+    bloom/shuffle-hash + null-safe)."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    left = ev.select(
+        F.nullif(F.col("user_id") % 50, F.lit(13)).alias("lkey"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    dim = (
+        o.select(F.nullif(F.col("o_custkey") % 50, F.lit(13)).alias("rkey"))
+        .distinct()
+        .select(
+            "rkey",
+            F.concat(
+                F.lit("b"),
+                F.coalesce(F.col("rkey"), F.lit(-1)).cast("string"),
+            ).alias("bucket_label"),
+        )
+    )
+    return (
+        left.join(F.broadcast(dim), F.col("lkey").eqNullSafe(F.col("rkey")))
+        .groupBy("bucket_label")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
