@@ -53,6 +53,7 @@ from etl_caic_spark.plans import lakehouse2q  # noqa: F401,E402
 from etl_caic_spark.plans import analytics2q  # noqa: F401,E402
 from etl_caic_spark.plans import sketch2q  # noqa: F401,E402
 from etl_caic_spark.plans import geo2q  # noqa: F401,E402
+from etl_caic_spark.plans import clickstreamq  # noqa: F401,E402
 
 # Driver window (positions 0..49). Families with no driver row yet come
 # first; the last slots are stable core representatives (canaries).
@@ -102,7 +103,7 @@ _DRIVER_WINDOW = [
     "stat_linreg_group",
     "merge_full",
     "join_asof_nearest",
-    "win_sliding_distinct",
+    "clickstream_pipeline",
     "tpch_q2_shape",
     "geo_haversine_knn",
     "multimodal_wav_features",
@@ -140,7 +141,7 @@ _DRIVER_WINDOW = [
     # streaming remainder (+ the new outer join)
     "stream_outer_join",
     # scans / formats
-    "scan_partition_pruned",
+    "lakehouse_vacuum",
 ]
 
 

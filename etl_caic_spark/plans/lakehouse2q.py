@@ -155,3 +155,75 @@ def lakehouse_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visible.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n")
     )
+
+
+@register(
+    "lakehouse_vacuum",
+    oracle="""
+    SELECT 'f' || CAST(o_orderkey % 8 AS VARCHAR) AS file,
+           CASE WHEN o_orderkey % 8 = 4 THEN 'vacuumed' ELSE 'live' END
+             AS status,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("scan", "lakehouse", "scale"),
+)
+def lakehouse_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM over the transaction log (the Delta VACUUM / Iceberg
+    expire-snapshots mechanism): orders are laid out as 8 immutable
+    files and the same deterministic 3-commit log as
+    lakehouse_log_replay (f4 removed, f1 removed-then-re-added); vacuum
+    computes the LIVE set (latest action wins, must be 'add'), diffs it
+    against the files actually on disk, physically DELETES the orphans,
+    and emits the audit report — (file, live|vacuumed, row count), with
+    the vacuumed rows counted BEFORE deletion, as a real vacuum logs.
+    The re-added f1 must survive (latest-wins, not any-remove-wins —
+    the subtle bug this query exists to catch). The oracle states the
+    final accounting declaratively from the key slices. Driver work is
+    O(files) metadata; row counts ride on partition-parallel reads. At
+    100 TB vacuum is exactly this: a manifest diff plus bounded deletes,
+    never a data scan beyond the orphans being counted."""
+    import os
+    import shutil
+
+    base = scratch_path("lakehouse_vacuum_orders")
+    src = load_table(spark, sf_dir, "orders")
+    for i in range(8):
+        src.filter(F.col("o_orderkey") % 8 == i).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, f"f{i}"))
+    log = spark.createDataFrame(
+        [(1, "add", f"f{i}") for i in range(6)]
+        + [(2, "add", "f6"), (2, "add", "f7"), (2, "remove", "f1")]
+        + [(3, "remove", "f4"), (3, "add", "f1")],
+        "txn int, action string, file string",
+    )
+    live = {
+        r["file"]
+        for r in log.groupBy("file")
+        .agg(F.max_by("action", "txn").alias("last"))
+        .filter(F.col("last") == "add")
+        .collect()
+    }
+    on_disk = sorted(d for d in os.listdir(base) if d.startswith("f"))
+    orphans = [f for f in on_disk if f not in live]
+    parts = []
+    for f in on_disk:
+        status = "vacuumed" if f in orphans else "live"
+        parts.append(
+            spark.read.parquet(os.path.join(base, f)).agg(
+                F.lit(f).alias("file"),
+                F.lit(status).alias("status"),
+                F.count("*").alias("n_rows"),
+            )
+        )
+    report = parts[0]
+    for p in parts[1:]:
+        report = report.unionByName(p)
+    report = report.localCheckpoint()  # pin counts before deleting files
+    for f in orphans:
+        shutil.rmtree(os.path.join(base, f))
+    remaining = sorted(d for d in os.listdir(base) if d.startswith("f"))
+    assert set(remaining) == live, (remaining, live)
+    return report
