@@ -55,6 +55,7 @@ from etl_caic_spark.plans import sketch2q  # noqa: F401,E402
 from etl_caic_spark.plans import geo2q  # noqa: F401,E402
 from etl_caic_spark.plans import clickstreamq  # noqa: F401,E402
 from etl_caic_spark.plans import tokenq  # noqa: F401,E402
+from etl_caic_spark.plans import webdatasetq  # noqa: F401,E402
 
 # Driver window (positions 0..49). Families with no driver row yet come
 # first; the last slots are stable core representatives (canaries).
