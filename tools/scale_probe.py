@@ -276,6 +276,75 @@ def main():
                     ).select("l_partkey", "l_suppkey", "best")
                 )
             ),
+            # r5 wave 15/17: span-frequency dedup (non-overlapping spans →
+            # |tokens|/2 shuffle) and the clickstream flagship's
+            # sessionize+funnel core (user window + sid aggregates).
+            # (split once into an array column, exactly like the
+            # registered query — inlining split() into the transform
+            # re-tokenizes per span and measures that waste instead)
+            "span_dedup": timeit(
+                lambda: noop(
+                    docs.select("doc_id", F.split("text", " ").alias("l"))
+                    .select(
+                        "doc_id",
+                        F.explode(
+                            F.expr(
+                                "transform(sequence(0, size(l) DIV 2 - 1),"
+                                " j -> concat(l[2*j], ' ', l[2*j+1]))"
+                            )
+                        ).alias("span"),
+                    )
+                    .groupBy("span")
+                    .agg(F.count("*").alias("cf"))
+                )
+            ),
+            "clickstream_core": timeit(
+                lambda: noop(
+                    ev.select(
+                        "user_id",
+                        "ts",
+                        "event_id",
+                        "event_type",
+                        F.when(
+                            F.lag("ts")
+                            .over(
+                                W.partitionBy("user_id").orderBy("ts", "event_id")
+                            )
+                            .isNull()
+                            | (
+                                F.unix_timestamp("ts")
+                                - F.unix_timestamp(
+                                    F.lag("ts").over(
+                                        W.partitionBy("user_id").orderBy(
+                                            "ts", "event_id"
+                                        )
+                                    )
+                                )
+                                > 1800
+                            ),
+                            1,
+                        )
+                        .otherwise(0)
+                        .alias("is_new"),
+                    )
+                    .withColumn(
+                        "sid",
+                        F.col("user_id") * 1000000
+                        + F.sum("is_new").over(
+                            W.partitionBy("user_id")
+                            .orderBy("ts", "event_id")
+                            .rowsBetween(W.unboundedPreceding, W.currentRow)
+                        ),
+                    )
+                    .groupBy("sid")
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.min(
+                            F.when(F.col("event_type") == "view", F.col("ts"))
+                        ).alias("first_view"),
+                    )
+                )
+            ),
             "pagerank": timeit(
                 lambda: noop(
                     pagerank(
