@@ -145,3 +145,56 @@ def scan_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("parsed_cents"),
         )
     )
+
+
+@register(
+    "scan_rest_paginated",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS item_id,
+           CAST((i * 37) % 1000 AS BIGINT) AS val,
+           'page-' || CAST(i // 25 AS VARCHAR) AS page
+    FROM (SELECT unnest(generate_series(0, 119)) AS i)
+    """,
+    tags=("scan", "rest"),
+)
+def scan_rest_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor-paginated REST ingestion replayed through the injectable
+    transport (sources/rest.py fetch_json_paginated): a deterministic
+    fake API serves 120 items in 25-item pages, each page carrying the
+    next-page cursor; the loader follows cursors until null, unioning
+    pages into one DataFrame under the declared fail-fast schema. The
+    oracle states the full collection closed-form — the hash match
+    proves no page was dropped, duplicated, or reordered across the
+    cursor chain (the classic pagination bugs). Same structural-replay
+    convention as the R1/R4 snapshot source: no live calls, transport
+    injected, driver-side serial fetch by design with the
+    land-on-storage path documented for large collections."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from etl_caic_spark.sources.rest import fetch_json_paginated
+
+    page_size, total = 25, 120
+
+    def fake_api(url: str) -> str:
+        page = int(url.rsplit("=", 1)[1])
+        lo = page * page_size
+        hi = min(lo + page_size, total)
+        items = [
+            {"item_id": i, "val": (i * 37) % 1000, "page": f"page-{i // page_size}"}
+            for i in range(lo, hi)
+        ]
+        nxt = f"fake://items?page={page + 1}" if hi < total else None
+        return _json.dumps({"items": items, "next": nxt})
+
+    schema = T.StructType(
+        [
+            T.StructField("item_id", T.LongType()),
+            T.StructField("val", T.LongType()),
+            T.StructField("page", T.StringType()),
+        ]
+    )
+    return fetch_json_paginated(
+        spark, "fake://items?page=0", schema, transport=fake_api
+    )
