@@ -200,3 +200,71 @@ def clickstream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("attributed_cents"),
         F.round(F.count("first_purchase") / F.count("*"), 4).alias("conversion"),
     )
+
+
+@register(
+    "join_scd2_pit",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id,
+             CAST(floor(value / 100) AS BIGINT) AS tier,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM events WHERE event_type = 'signup'
+    ),
+    facts AS (
+      SELECT user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT tier, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM facts JOIN dim
+      ON facts.user_id = dim.user_id
+     AND facts.ts >= dim.valid_from
+     AND (dim.valid_to IS NULL OR facts.ts < dim.valid_to)
+    GROUP BY 1
+    """,
+    tags=("join", "timeseries", "warehouse"),
+)
+def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of facts against an SCD2 dimension — the
+    temporal-warehouse staple distinct from join_asof: each purchase is
+    matched to the tier interval VALID AT ITS TIMESTAMP, where the
+    dimension's validity intervals [valid_from, valid_to) are built
+    from the user's signup updates with lead() (open-ended current
+    interval = NULL valid_to). Intervals per user are disjoint by
+    construction, so each fact matches at most one dimension version —
+    no dedup needed, unlike a sloppy BETWEEN join against overlapping
+    rows. Plan shape: equi key (user_id) carries the join; the interval
+    predicate is a residual filter on the matched pairs — at 100 TB
+    this shuffles both sides once on user_id, and the dimension side is
+    |updates|, not |users × versions|. Purchases before the first
+    signup correctly drop out (inner PIT semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    wd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.floor(F.col("value") / 100).cast("bigint").alias("tier"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("valid_to"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    joined = facts.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return joined.groupBy("tier").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum("cents").alias("revenue_cents"),
+    )
