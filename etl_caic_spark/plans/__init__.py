@@ -56,6 +56,12 @@ from etl_caic_spark.plans import geo2q  # noqa: F401,E402
 from etl_caic_spark.plans import clickstreamq  # noqa: F401,E402
 from etl_caic_spark.plans import tokenq  # noqa: F401,E402
 from etl_caic_spark.plans import webdatasetq  # noqa: F401,E402
+from etl_caic_spark.plans import mlq  # noqa: F401,E402
+from etl_caic_spark.plans import llm6  # noqa: F401,E402
+from etl_caic_spark.plans import analytics3q  # noqa: F401,E402
+from etl_caic_spark.plans import graph2q  # noqa: F401,E402
+from etl_caic_spark.plans import multimodalq3  # noqa: F401,E402
+from etl_caic_spark.plans import streaming2q  # noqa: F401,E402
 
 # Driver window (positions 0..49). Families with no driver row yet come
 # first; the last slots are stable core representatives (canaries).
