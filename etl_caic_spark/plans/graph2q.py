@@ -4,11 +4,21 @@ over the same deterministic event-interaction graph as graphq.py (user →
 previous user in the event_type stream), so both engines construct the
 identical edge list and every metric is integer-exact.
 
-Scale strategy: both queries are built on the UNDIRECTED deduped edge
-list with an explicit DEGREE CAP that drops hub nodes before the
-quadratic wedge join — the standard trick (e.g. in production
-people-you-may-know pipelines) that bounds the two-path blowup at
-deg_cap² per node instead of unbounded hub fan-out.
+Scale strategy: the event graph is DENSE (every node's degree grows
+with events-per-user — at sf0.01 the minimum degree is already 69), so
+both queries run on DETERMINISTICALLY TRUNCATED adjacency: each node
+keeps its K=32 smallest neighbor ids (row_number over a total order —
+reproducible on any engine, unlike random neighbor sampling). This is
+the neighbor-sampling trick production link-prediction pipelines use
+(e.g. PYMK-style systems): it bounds the quadratic wedge join at
+n·K² REGARDLESS of how degrees grow with data volume, where a fixed
+degree-cap filter would either empty the graph or stop capping as the
+distribution shifts. The kept lists are then MUTUAL-kNN symmetrized
+(edge survives only if both endpoints kept each other), so every node's
+degree is ≤ K in EVERY join role — without mutuality, a node kept by
+many others re-creates the hub blowup on the shared-neighbor key. Metrics are exact over the truncated graph and
+the truncation is part of the operator contract (full degree is
+reported alongside).
 """
 
 from __future__ import annotations
@@ -19,9 +29,10 @@ from pyspark.sql import functions as F
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 
-_DEG_CAP = 60
+_K = 32  # neighbors kept per node (smallest ids — deterministic)
 
-# Undirected, deduplicated, capped neighbor list shared by both queries.
+# Undirected deduped edges -> per-node K-truncated neighbor lists, plus
+# the full degree for reporting. Shared by both queries.
 _UND_SQL = f"""
     ev AS (
       SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
@@ -42,16 +53,21 @@ _UND_SQL = f"""
     ),
     deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
             FROM nbr_all GROUP BY 1),
+    nbr_trunc AS (
+      SELECT v, w FROM (
+        SELECT v, w, row_number() OVER (PARTITION BY v ORDER BY w) AS rk
+        FROM nbr_all
+      ) WHERE rk <= {_K}
+    ),
     nbr AS (
-      SELECT n.v, n.w FROM nbr_all n
-      JOIN deg dv ON dv.v = n.v AND dv.deg <= {_DEG_CAP}
-      JOIN deg dw ON dw.v = n.w AND dw.deg <= {_DEG_CAP}
+      SELECT t1.v, t1.w FROM nbr_trunc t1
+      JOIN nbr_trunc t2 ON t1.v = t2.w AND t1.w = t2.v
     )
 """
 
 
 def _build_und(spark: SparkSession, sf_dir: str):
-    """Spark twin of _UND_SQL: (nbr, deg) DataFrames."""
+    """Spark twin of _UND_SQL: (nbr truncated to K per node, full deg)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     seq = ev.select(
@@ -68,15 +84,17 @@ def _build_und(spark: SparkSession, sf_dir: str):
         und.select(F.col("b").alias("v"), F.col("a").alias("w"))
     )
     deg = nbr_all.groupBy("v").agg(F.count("*").cast("bigint").alias("deg"))
-    kept = deg.where(F.col("deg") <= _DEG_CAP)
-    nbr = (
-        nbr_all.join(kept.select("v"), "v")
-        .join(
-            kept.select(F.col("v").alias("w")),
-            "w",
-        )
+    wv = Window.partitionBy("v").orderBy("w")
+    trunc = (
+        nbr_all.withColumn("rk", F.row_number().over(wv))
+        .where(F.col("rk") <= _K)
         .select("v", "w")
     )
+    # Mutual-kNN symmetrization: keep (v, w) only if BOTH kept each
+    # other — the adjacency is symmetric and every node's degree is
+    # <= K in every role, which is what bounds the wedge join.
+    rev = trunc.select(F.col("w").alias("v"), F.col("v").alias("w"))
+    nbr = trunc.join(rev, ["v", "w"], "left_semi")
     return nbr, deg
 
 
@@ -84,46 +102,49 @@ def _build_und(spark: SparkSession, sf_dir: str):
     "graph_jaccard_links",
     oracle=f"""
     WITH {_UND_SQL},
+    cdeg AS (SELECT v, CAST(count(*) AS BIGINT) AS cdeg FROM nbr GROUP BY 1),
     pairs AS (
-      SELECT n1.w AS a, n2.w AS b, CAST(count(*) AS BIGINT) AS common
-      FROM nbr n1 JOIN nbr n2 ON n1.v = n2.v AND n1.w < n2.w
+      SELECT n1.v AS a, n2.v AS b, CAST(count(*) AS BIGINT) AS common
+      FROM nbr n1 JOIN nbr n2 ON n1.w = n2.w AND n1.v < n2.v
       GROUP BY 1, 2
-    ),
-    existing AS (SELECT a, b FROM und)
+    )
     SELECT p.a, p.b, p.common,
-           CAST(da.deg AS BIGINT) AS deg_a,
-           CAST(db.deg AS BIGINT) AS deg_b,
-           round(p.common * 1.0 / (da.deg + db.deg - p.common), 6) AS jaccard
+           CAST(da.cdeg AS BIGINT) AS kdeg_a,
+           CAST(db.cdeg AS BIGINT) AS kdeg_b,
+           round(p.common * 1.0 / (da.cdeg + db.cdeg - p.common), 6) AS jaccard
     FROM pairs p
-    JOIN deg da ON da.v = p.a
-    JOIN deg db ON db.v = p.b
-    LEFT JOIN existing e ON e.a = p.a AND e.b = p.b
-    WHERE e.a IS NULL AND p.common >= 2
+    JOIN cdeg da ON da.v = p.a
+    JOIN cdeg db ON db.v = p.b
+    LEFT JOIN und e ON e.a = p.a AND e.b = p.b
+    WHERE e.a IS NULL AND p.common >= 3
     """,
     tags=("graph", "join"),
 )
 def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link prediction by neighbor-set Jaccard: for every NON-adjacent
-    node pair sharing ≥2 common neighbors, score
-    |N(a)∩N(b)| / (deg(a)+deg(b)−|∩|) — the classic
-    people-you-may-know / related-entities primitive. The intersection
-    comes from the wedge self-join (two-path enumeration, never a
-    node×node cross product), existing edges are anti-joined out, and
-    the Jaccard is one division of exact BIGINTs.
+    """Link prediction by neighbor-set Jaccard over K-truncated
+    adjacency: for every NON-adjacent node pair sharing ≥3 sampled
+    common neighbors, score |Nk(a)∩Nk(b)| / (|Nk(a)|+|Nk(b)|−|∩|) —
+    the people-you-may-know / related-entities primitive. The
+    intersection comes from the wedge self-join (two-path enumeration,
+    never node×node), existing edges are anti-joined out, and the
+    Jaccard is one division of exact BIGINTs over the truncated sets.
 
     Scale: the wedge join is the canonical quadratic risk — bounded
-    here by (a) dropping hub nodes above the degree cap BEFORE the
-    join (deg ≤ {_DEG_CAP}; production PYMK does exactly this) and (b)
-    grouping map-side on (a,b). Cost is Σ_v deg(v)² over capped
-    degrees; the shuffles are all key-partitioned. At 100 TB add
-    minhash-of-neighbors prefiltering (operators/dedup.py shape) to
-    cut candidate pairs further — same plan skeleton."""
-    nbr, deg = _build_und(spark, sf_dir)
-    n2 = nbr.select(F.col("v"), F.col("w").alias("w2"))
+    here at n·K² (K={_K}) by the deterministic neighbor truncation,
+    which holds at ANY data scale (a fixed degree-cap filter does not:
+    this fixture's min degree is 69 at sf0.01 and grows with sf).
+    All shuffles are key-partitioned; the map-side groupBy combines
+    wedge counts before the exchange."""
+    nbr, _deg = _build_und(spark, sf_dir)
+    cdeg = nbr.groupBy("v").agg(F.count("*").cast("bigint").alias("cdeg"))
+    # Wedge join keyed on the SHARED NEIGHBOR: centers (a, b) both kept
+    # x, so common = |Nk(a) ∩ Nk(b)| over the mutual adjacency and can
+    # never exceed either truncated degree.
+    n2 = nbr.select(F.col("v").alias("v2"), F.col("w"))
     pairs = (
-        nbr.join(n2, "v")
-        .where(F.col("w") < F.col("w2"))
-        .groupBy(F.col("w").alias("a"), F.col("w2").alias("b"))
+        nbr.join(n2, "w")
+        .where(F.col("v") < F.col("v2"))
+        .groupBy(F.col("v").alias("a"), F.col("v2").alias("b"))
         .agg(F.count("*").cast("bigint").alias("common"))
     )
     ev = load_table(spark, sf_dir, "events")
@@ -140,20 +161,26 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = (
         pairs.join(existing, ["a", "b"], "left_anti")
-        .where(F.col("common") >= 2)
-        .join(deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a")), "a")
-        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b")), "b")
+        .where(F.col("common") >= 3)
+        .join(
+            cdeg.select(F.col("v").alias("a"), F.col("cdeg").alias("kdeg_a")),
+            "a",
+        )
+        .join(
+            cdeg.select(F.col("v").alias("b"), F.col("cdeg").alias("kdeg_b")),
+            "b",
+        )
     )
     return out.select(
         "a",
         "b",
         "common",
-        F.col("deg_a").cast("bigint").alias("deg_a"),
-        F.col("deg_b").cast("bigint").alias("deg_b"),
+        F.col("kdeg_a").cast("bigint").alias("kdeg_a"),
+        F.col("kdeg_b").cast("bigint").alias("kdeg_b"),
         F.round(
             F.col("common")
             * 1.0
-            / (F.col("deg_a") + F.col("deg_b") - F.col("common")),
+            / (F.col("kdeg_a") + F.col("kdeg_b") - F.col("common")),
             6,
         ).alias("jaccard"),
     )
@@ -173,31 +200,37 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tri t JOIN capped_und e ON e.a = t.a AND e.b = t.b
       GROUP BY 1
     ),
-    capdeg AS (SELECT v, CAST(count(*) AS BIGINT) AS cdeg
-               FROM nbr GROUP BY 1)
-    SELECT d.v AS user_id, d.cdeg AS degree,
+    cdeg AS (SELECT v, CAST(count(*) AS BIGINT) AS cdeg
+             FROM nbr GROUP BY 1)
+    SELECT d.v AS user_id, d.cdeg AS kdeg,
+           CAST(g.deg AS BIGINT) AS full_degree,
            CAST(coalesce(c.tri_cnt, 0) AS BIGINT) AS triangles,
            round(2.0 * coalesce(c.tri_cnt, 0) / (d.cdeg * (d.cdeg - 1)), 6)
              AS clustering
-    FROM capdeg d LEFT JOIN closed c ON c.v = d.v
+    FROM cdeg d
+    JOIN deg g ON g.v = d.v
+    LEFT JOIN closed c ON c.v = d.v
     WHERE d.cdeg >= 2
     """,
     tags=("graph", "join"),
 )
 def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node LOCAL clustering coefficient (how many of my neighbors
-    know each other): wedges centered at each node are enumerated by
-    the same two-path join as graph_jaccard_links, closed wedges are
-    found by joining the wedge's endpoints against the edge list, and
-    clustering = 2·triangles / (deg·(deg−1)) — one rounded division of
-    exact integers. Complements graph_triangles (global count) with
-    the node-level distribution used for community/bot detection.
+    """Per-node LOCAL clustering coefficient over the K-truncated
+    adjacency (how many of my sampled neighbors know each other):
+    wedges centered at each node are enumerated by the same two-path
+    join as graph_jaccard_links, closed wedges are found by joining
+    the wedge endpoints against the truncated edge list, and
+    clustering = 2·tri / (k·(k−1)) is one rounded division of exact
+    integers. Full degree is reported next to the truncated k so the
+    sampling is visible, not hidden. Complements graph_triangles
+    (global count) with the node-level distribution used for
+    community/bot detection.
 
-    Scale: identical wedge-join cost envelope as the Jaccard query
-    (degree-capped, Σ deg²); the closure probe joins wedges to edges
-    on the (a,b) key both sides shuffle on. Nodes with capped degree
-    < 2 are excluded (coefficient undefined)."""
-    nbr, _deg = _build_und(spark, sf_dir)
+    Scale: same n·K² wedge envelope as the Jaccard query; the closure
+    probe joins wedges to edges on the (a,b) key both sides already
+    shuffle on. Nodes with truncated degree < 2 are excluded
+    (coefficient undefined)."""
+    nbr, deg = _build_und(spark, sf_dir)
     capped_und = nbr.where(F.col("v") < F.col("w")).select(
         F.col("v").alias("a"), F.col("w").alias("b")
     )
@@ -205,18 +238,25 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = (
         nbr.join(n2, "v")
         .where(F.col("w") < F.col("w2"))
-        .select(F.col("w").alias("a"), F.col("w2").alias("b"), F.col("v").alias("apex"))
+        .select(
+            F.col("w").alias("a"), F.col("w2").alias("b"), F.col("v").alias("apex")
+        )
     )
     closed = (
         tri.join(capped_und, ["a", "b"])
         .groupBy(F.col("apex").alias("v"))
         .agg(F.count("*").cast("bigint").alias("tri_cnt"))
     )
-    capdeg = nbr.groupBy("v").agg(F.count("*").cast("bigint").alias("cdeg"))
-    out = capdeg.join(closed, "v", "left").where(F.col("cdeg") >= 2)
+    cdeg = nbr.groupBy("v").agg(F.count("*").cast("bigint").alias("cdeg"))
+    out = (
+        cdeg.join(deg, "v")
+        .join(closed, "v", "left")
+        .where(F.col("cdeg") >= 2)
+    )
     return out.select(
         F.col("v").alias("user_id"),
-        F.col("cdeg").alias("degree"),
+        F.col("cdeg").alias("kdeg"),
+        F.col("deg").cast("bigint").alias("full_degree"),
         F.coalesce("tri_cnt", F.lit(0)).cast("bigint").alias("triangles"),
         F.round(
             2.0
