@@ -87,7 +87,30 @@ from etl_caic_spark.plans import geo3q  # noqa: F401,E402
 # time-series, subqueries, TPC-H shapes, scale patterns). The displaced
 # light fn_*/agg_*/win_* queries rotate in round 6; all are green in the
 # identical local oracle run (tests/test_oracle.py) meanwhile.
+# Final round-5 recuration: waves 21-26 lead with one representative per
+# new family (ML eval, diversity gates, wedge-join graph, media patchify,
+# streaming CDC merge, partition evolution, corrupt tolerance, multi-
+# distinct FILTER, quadkey tiles); they displace family siblings whose
+# pattern is already represented in the window or driver-green
+# (wav_features, merge_full, asof_nearest, kmv_setops, target_encode,
+# haversine_knn, time_travel, vacuum, interval_overlap, bfs_hops,
+# skew_kurtosis, simhash_md5, tpch_q2) — all stay green in the identical
+# local oracle (tests/test_oracle.py) and rotate back in round 6.
 _DRIVER_WINDOW = [
+    # waves 21-26 (late round 5): one representative per new family
+    "eval_auc_exact",
+    "eval_regression_metrics",
+    "feat_target_encode_loo",
+    "text_word_entropy",
+    "text_vocab_coverage",
+    "dq_volume_anomaly",
+    "graph_jaccard_links",
+    "multimodal_patchify",
+    "stream_cdc_merge",
+    "lakehouse_partition_evolution",
+    "scan_parquet_corrupt_tolerance",
+    "agg_distinct_filter",
+    "geo_quadkey_rollup",
     # changed this round — driver must re-verify
     "caic_pipeline",
     "sample_fraction",
@@ -96,7 +119,6 @@ _DRIVER_WINDOW = [
     "join_salted_skew",
     "multimodal_bmp_codec",
     "dedup_minhash_md5",
-    "dedup_simhash_md5",
     "sim_topk_ivf_exact",
     "multimodal_image_stats",
     # new this round (wave 8 + geo/graph/ts/sink additions)
@@ -107,23 +129,13 @@ _DRIVER_WINDOW = [
     "cdc_apply_changes",
     "geo_grid_join",
     "ts_retention_cohorts",
-    "graph_bfs_hops",
     "sink_partition_overwrite",
     "dq_constraint_suite",
-    "sketch_kmv_setops",
     "stat_linreg_group",
-    "merge_full",
-    "join_asof_nearest",
     "clickstream_pipeline",
-    "tpch_q2_shape",
-    "geo_haversine_knn",
-    "multimodal_wav_features",
     "scan_dynamic_partition_pruning",
     "lakehouse_delete_vectors",
-    "lakehouse_time_travel",
     "sink_python_datasource",
-    "join_interval_overlap",
-    "agg_skew_kurtosis",
     # late-round-5 wave 10/11 — new FAMILIES, driver must see them once
     # (the family-sibling queries they displace — tpch_q3/q5/q18,
     # join_shuffle_hash, agg_salted_skew, funnel_stages, ts_gapfill_locf,
@@ -137,7 +149,6 @@ _DRIVER_WINDOW = [
     "sample_weighted_topk",
     "text_bigram_logprob",
     "lakehouse_stats_skipping",
-    "feat_target_encode",
     "feat_bin_quantile",
     "graph_sssp_weighted",
     # flagship + graph + time-series heavyweights (never driver-sampled)
@@ -152,7 +163,6 @@ _DRIVER_WINDOW = [
     # streaming remainder (+ the new outer join)
     "stream_outer_join",
     # scans / formats
-    "lakehouse_vacuum",
 ]
 
 

@@ -68,7 +68,12 @@ _UND_SQL = f"""
 
 def _build_und(spark: SparkSession, sf_dir: str):
     """Spark twin of _UND_SQL: (nbr truncated to K per node, full deg)."""
-    ev = load_table(spark, sf_dir, "events")
+    return build_truncated_adjacency(load_table(spark, sf_dir, "events"))
+
+
+def build_truncated_adjacency(ev: DataFrame):
+    """Mutual-kNN truncated adjacency from an events DataFrame — also
+    driven directly by tools/scale_probe.py against replicated inputs."""
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     seq = ev.select(
         F.lag("user_id").over(w).alias("src"), F.col("user_id").alias("dst")

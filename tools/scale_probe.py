@@ -23,6 +23,7 @@ from etl_caic_spark.operators.dedup import minhash_lsh_pairs  # noqa: E402
 from etl_caic_spark.operators.geo import grid_neighbor_pairs  # noqa: E402
 from etl_caic_spark.operators.lsh import lsh_cosine_pairs  # noqa: E402
 from etl_caic_spark.operators.pagerank import pagerank  # noqa: E402
+from etl_caic_spark.plans.graph2q import build_truncated_adjacency  # noqa: E402
 from etl_caic_spark.operators.text_analysis import repetition_signals  # noqa: E402
 from etl_caic_spark.operators.timeseries import rollup_hierarchy  # noqa: E402
 from etl_caic_spark.session import get_spark  # noqa: E402
@@ -342,6 +343,26 @@ def main():
                         F.min(
                             F.when(F.col("event_type") == "view", F.col("ts"))
                         ).alias("first_view"),
+                    )
+                )
+            ),
+            # r5 wave 23: the shared-neighbor wedge join over MUTUAL-kNN
+            # truncated adjacency (K=32). Nodes are the fixed user set, so
+            # as events replicate the raw graph DENSIFIES (degrees grow
+            # ~linearly with factor) — precisely the regime where an
+            # uncapped wedge join would go quadratic; the truncation bounds
+            # the join input at n*K and the wedge output at n*K^2, so the
+            # wedge stage should stay near-FLAT while the adjacency build
+            # (distinct + rank window) grows with the event count.
+            "wedge_links_trunc": timeit(
+                lambda: noop(
+                    (lambda nbr: nbr.join(
+                        nbr.select(F.col("v").alias("v2"), F.col("w")), "w"
+                    )
+                    .where(F.col("v") < F.col("v2"))
+                    .groupBy("v", "v2")
+                    .agg(F.count("*").alias("common")))(
+                        build_truncated_adjacency(ev)[0]
                     )
                 )
             ),
