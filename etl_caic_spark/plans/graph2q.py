@@ -270,3 +270,98 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("clustering"),
     )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unroll k-core peeling rounds as CTE layers (the pagerank/SSSP
+    oracle convention): survivors r+1 = nodes whose degree within the
+    round-r induced subgraph is >= k."""
+    parts = [f"WITH {_UND_SQL}"]
+    prev_nodes = "deg"  # round 0: all nodes with their full degree
+    parts.append(
+        f""",
+    p0 AS (SELECT v FROM deg WHERE deg >= {k})"""
+    )
+    prev = "p0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    e{r} AS (
+      SELECT n.v, n.w FROM nbr_all n
+      JOIN {prev} a ON a.v = n.v
+      JOIN {prev} b ON b.v = n.w
+    ),
+    d{r} AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM e{r} GROUP BY 1),
+    p{r} AS (SELECT v FROM d{r} WHERE deg >= {k})"""
+        )
+        prev = f"p{r}"
+    parts.append(
+        f"""
+    SELECT d.v AS user_id, g.deg AS full_degree, d.deg AS core_degree
+    FROM d{rounds} d
+    JOIN {prev} p ON p.v = d.v
+    JOIN deg g ON g.v = d.v
+    """
+    )
+    return "".join(parts)
+
+
+_KCORE_K = 70
+_KCORE_ROUNDS = 3
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS),
+    tags=("graph", "iterative"),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling (k=70, 3 rounds —
+    enough to converge on this fixture): each round drops nodes whose
+    degree WITHIN THE SURVIVING SUBGRAPH falls below k, recomputing
+    induced degrees with two semi-joins + one count per round. The
+    k-core is the classic community/spam-ring denoiser: it removes
+    low-engagement periphery without any threshold tuning on raw
+    degree. The oracle unrolls the same rounds as CTE layers
+    (the pagerank/SSSP convention), so this iterative algorithm is
+    hash-verified exactly, not just rows-counted.
+
+    Scale: each round is edge-list-sized work — two broadcast-able
+    semi-joins against the (much smaller) survivor set and one
+    map-side-combinable degree count; rounds are bounded (degeneracy
+    peeling converges geometrically in practice). At 100 TB run rounds
+    until a fixed point with localCheckpoint between them, exactly
+    like operators/pagerank.py does."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("user_id").over(w).alias("src"), F.col("user_id").alias("dst")
+    )
+    und = (
+        seq.where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    nbr_all = und.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    )
+    deg0 = nbr_all.groupBy("v").agg(F.count("*").cast("bigint").alias("deg"))
+    survivors = deg0.where(F.col("deg") >= _KCORE_K).select("v")
+    d = None
+    for _ in range(_KCORE_ROUNDS):
+        edges = nbr_all.join(survivors, "v", "left_semi").join(
+            survivors.select(F.col("v").alias("w")), "w", "left_semi"
+        )
+        d = edges.groupBy("v").agg(F.count("*").cast("bigint").alias("deg"))
+        survivors = d.where(F.col("deg") >= _KCORE_K).select("v")
+    out = (
+        d.join(survivors, "v", "left_semi")
+        .join(deg0.select(F.col("v"), F.col("deg").alias("full_degree")), "v")
+    )
+    return out.select(
+        F.col("v").alias("user_id"),
+        F.col("full_degree"),
+        F.col("deg").alias("core_degree"),
+    )
