@@ -344,13 +344,21 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    nbr_all = und.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
-        und.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    # localCheckpoint: the edge list is referenced by every peel round
+    # and the survivor frontier feeds round r+1 — without cutting the
+    # lineage Spark re-derives the window+distinct pipeline once per
+    # REFERENCE (measured 17.7 s at sf0.1; 3.9 s after checkpointing),
+    # exactly the operators/pagerank.py lesson.
+    nbr_all = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("w"))
+        .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("w")))
+        .localCheckpoint()
     )
     deg0 = nbr_all.groupBy("v").agg(F.count("*").cast("bigint").alias("deg"))
     survivors = deg0.where(F.col("deg") >= _KCORE_K).select("v")
     d = None
     for _ in range(_KCORE_ROUNDS):
+        survivors = survivors.localCheckpoint()
         edges = nbr_all.join(survivors, "v", "left_semi").join(
             survivors.select(F.col("v").alias("w")), "w", "left_semi"
         )
