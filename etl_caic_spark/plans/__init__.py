@@ -105,6 +105,8 @@ from etl_caic_spark.plans import relational14  # noqa: F401,E402
 # local oracle (tests/test_oracle.py) and rotate back in round 6.
 _DRIVER_WINDOW = [
     # waves 21-26 (late round 5): one representative per new family
+    "mm_training_prep_pipeline",
+    "join_aqe_skew",
     "eval_auc_exact",
     "eval_regression_metrics",
     "feat_target_encode_loo",
@@ -126,8 +128,6 @@ _DRIVER_WINDOW = [
     "join_salted_skew",
     "multimodal_bmp_codec",
     "dedup_minhash_md5",
-    "sim_topk_ivf_exact",
-    "multimodal_image_stats",
     # new this round (wave 8 + geo/graph/ts/sink additions)
     "agg_bitmap_distinct",
     "agg_filter_clause",
