@@ -56,6 +56,18 @@ def join_aqe_broadcast_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # disabling the static threshold alone also disables the runtime
     # conversion (found empirically); the two knobs must be split.
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    old_ratio = spark.conf.get(
+        "spark.sql.adaptive.nonEmptyPartitionRatioForBroadcastJoin", None
+    )
+    # Second gotcha: a TINY dim under MANY shuffle partitions (25 rows
+    # over the default 200) has a non-empty-partition ratio under the
+    # 0.2 default, and AQE then refuses it as a broadcast build side
+    # entirely — the conversion silently never fires on exactly the
+    # dimension tables it is meant for. Surfaced by the driver's plain
+    # 200-partition session (the 8-partition test session masked it).
+    spark.conf.set(
+        "spark.sql.adaptive.nonEmptyPartitionRatioForBroadcastJoin", "0.0"
+    )
     try:
         c = load_table(spark, sf_dir, "customer")
         n = load_table(spark, sf_dir, "nation")
@@ -90,4 +102,13 @@ def join_aqe_broadcast_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(
                 "spark.sql.adaptive.autoBroadcastJoinThreshold", old_adaptive
+            )
+        if old_ratio is None:
+            spark.conf.unset(
+                "spark.sql.adaptive.nonEmptyPartitionRatioForBroadcastJoin"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.nonEmptyPartitionRatioForBroadcastJoin",
+                old_ratio,
             )

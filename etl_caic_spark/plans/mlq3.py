@@ -163,7 +163,7 @@ def _gram_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @register(
     "embed_gram_matrix",
     oracle=f"""
-    SELECT gi.i, gj.j,
+    SELECT CAST(gi.i AS INT) AS i, CAST(gj.j AS INT) AS j,
            CAST(sum(CAST(round(CAST(embedding[gi.i] AS DOUBLE) * 1000)
                          AS BIGINT)
                     * CAST(round(CAST(embedding[gj.j] AS DOUBLE) * 1000)
