@@ -1,0 +1,127 @@
+"""Time-series queries, part 2: seasonal decomposition and churn
+labeling over the `events` table — the feature-engineering side of the
+ts_* family (plans/timeseriesq.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_caic_spark.registry import register
+from etl_caic_spark.sources import load_table
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, value,
+             CAST(extract(hour FROM ts) AS INT) AS hod
+      FROM events
+    ), seas AS (
+      SELECT hod, round(avg(value), 6) AS seasonal,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM e GROUP BY 1
+    )
+    SELECT event_id, e.hod AS hod, value, seasonal, n_obs,
+           round(value - seasonal, 6) AS residual
+    FROM e JOIN seas ON e.hod = seas.hod
+    WHERE event_id % 41 = 0
+    """,
+    tags=("timeseries",),
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition with an hour-of-day profile:
+    seasonal(h) = mean(value | hour=h), residual = value - seasonal.
+    The seasonal mean is rounded to 6 before the subtraction so the
+    residual is a deterministic per-row op on both engines (the avg is
+    the one summation-order-sensitive aggregate, neutralized by the
+    round per registry.py conventions).
+
+    Plan: one 24-group aggregate (map-side partial, broadcast back onto
+    the events scan — no shuffle of the fact side), then a narrow
+    projection; output bounded by the event_id sample filter. Linear at
+    any scale, and the seasonal profile table is O(24) forever.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.hour("ts").cast("int").alias("hod"),
+    )
+    seas = e.groupBy("hod").agg(
+        F.round(F.avg("value"), 6).alias("seasonal"),
+        F.count("*").cast("bigint").alias("n_obs"),
+    )
+    return (
+        e.filter(F.col("event_id") % 41 == 0)
+        .join(F.broadcast(seas), "hod")
+        .select(
+            "event_id",
+            "hod",
+            "value",
+            "seasonal",
+            "n_obs",
+            F.round(F.col("value") - F.col("seasonal"), 6).alias("residual"),
+        )
+    )
+
+
+@register(
+    "ts_churn_label",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS corpus_end FROM events),
+    u AS (
+      SELECT user_id,
+             max(ts) AS last_seen,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days
+      FROM events GROUP BY 1
+    )
+    SELECT user_id,
+           strftime(last_seen, '%Y-%m-%d %H:%M:%S') AS last_seen,
+           n_events, active_days,
+           CAST(date_diff('day', CAST(last_seen AS DATE),
+                          CAST(corpus_end AS DATE)) AS BIGINT)
+             AS days_silent,
+           last_seen < corpus_end - INTERVAL 7 DAY AS churned
+    FROM u CROSS JOIN mx
+    """,
+    tags=("timeseries", "ml"),
+)
+def ts_churn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn labeling for a training set: a user is churned if silent
+    for the last 7 days of the observation window (window end = corpus
+    max(ts), so the label is self-contained and reproducible).
+
+    Plan: one groupBy(user_id) pass for recency/frequency features, the
+    corpus end as a broadcast scalar. At 100 TB this is the canonical
+    map-side-partial aggregate; no per-user data ever co-locates beyond
+    the partial rows. Timestamps are exported as formatted strings per
+    registry.py conventions.
+    """
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("corpus_end"))
+    u = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_seen"),
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count_distinct(F.col("ts").cast("date"))
+        .cast("bigint")
+        .alias("active_days"),
+    )
+    return u.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.date_format("last_seen", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        "n_events",
+        "active_days",
+        F.datediff(
+            F.col("corpus_end").cast("date"), F.col("last_seen").cast("date")
+        )
+        .cast("bigint")
+        .alias("days_silent"),
+        (
+            F.col("last_seen")
+            < F.col("corpus_end") - F.expr("INTERVAL 7 DAYS")
+        ).alias("churned"),
+    )
