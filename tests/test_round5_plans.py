@@ -1,0 +1,180 @@
+"""Plan-shape and semantics tests for the round-5 additions
+(retrieval/basket/NB/privacy/linkage/TS-part-2 families).
+
+Correctness vs DuckDB is covered automatically by tests/test_oracle.py;
+these tests pin the SCALE claims each docstring makes — broadcast where
+promised, no cartesian products, pair counts bounded — plus a few
+semantic properties an oracle row-match can't express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_caic_spark.registry import all_specs
+from etl_caic_spark.sources import load_table
+
+SPECS = all_specs()
+
+
+def _executed_plan(df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_bm25_broadcasts_dims_and_takes_ordered(spark, sf_dir):
+    df = SPECS["text_bm25_topk"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan, "df/qterms/stats dims must broadcast"
+    assert "TakeOrderedAndProject" in plan, (
+        "global top-20 must plan as TakeOrderedAndProject, not a full sort"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_scores_monotone_in_query_term_mass(spark, sf_dir):
+    rows = SPECS["text_bm25_topk"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["score_micro"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_pmi_pairs_formed_without_join_or_shuffle_explosion(spark, sf_dir):
+    df = SPECS["text_pmi_bigrams"].fn(spark, sf_dir)
+    # Bigram formation is arrays_zip on the word array — the optimized plan
+    # must not contain a positional self-join of exploded tokens.
+    plan = _optimized_plan(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert all(r["c_ab"] >= 5 for r in rows)
+
+
+def test_containment_triangle_bounds(spark, sf_dir):
+    rows = SPECS["dedup_containment"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r["a_id"] < r["b_id"]
+        assert r["n_inter"] <= min(r["n_a"], r["n_b"])
+        assert 10 * r["n_inter"] >= 8 * min(r["n_a"], r["n_b"])
+
+
+def test_basket_pairs_bounded_by_basket_size(spark, sf_dir):
+    """Pair generation is O(orders * k^2): with the part dim broadcast and
+    max basket size k, the pair count can never exceed n_orders * k*(k-1)/2."""
+    df = SPECS["basket_assoc_rules"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan, "part dim must broadcast"
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .groupBy("l_orderkey")
+        .count()
+    )
+    kmax = baskets.agg(F.max("count")).collect()[0][0]
+    n_orders = baskets.count()
+    total_pairs = (
+        SPECS["basket_assoc_rules"].fn(spark, sf_dir).agg(F.sum("supp_ab")).collect()[0][0]
+    )
+    assert total_pairs <= n_orders * kmax * (kmax - 1) // 2
+
+
+def test_basket_rule_stats_consistent(spark, sf_dir):
+    for r in SPECS["basket_assoc_rules"].fn(spark, sf_dir).collect():
+        assert r["ante"] < r["cons"]
+        assert r["supp_ab"] <= min(r["supp_a"], r["supp_b"])
+        assert 0 < r["confidence"] <= 1.0
+
+
+def test_nb_model_is_full_grid_and_normalized(spark, sf_dir):
+    rows = SPECS["ml_nb_train"].fn(spark, sf_dir).collect()
+    langs = {r["lang"] for r in rows}
+    terms = {r["term"] for r in rows}
+    assert len(rows) == len(langs) * len(terms), "model must be a full grid"
+    # Smoothed probabilities per class must sum to ~1 (micros within
+    # quantization error of the vocab size).
+    import collections
+    import math
+
+    by_lang = collections.defaultdict(float)
+    for r in rows:
+        by_lang[r["lang"]] += math.exp(r["logp_micro"] / 1e6)
+    for lang, total in by_lang.items():
+        assert abs(total - 1.0) < 1e-3, (lang, total)
+
+
+def test_nb_classify_covers_test_split_and_beats_uniform(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_test = docs.filter(F.col("doc_id") % 7 == 0).count()
+    rows = SPECS["ml_nb_classify"].fn(spark, sf_dir).collect()
+    assert len(rows) == n_test, "exactly one prediction per test doc"
+    # Word-soup text carries little lang signal, but the class prior does:
+    # the argmax must at least match the majority-class rate.
+    acc = sum(r["pred_lang"] == r["true_lang"] for r in rows) / len(rows)
+    assert acc >= 0.2
+
+
+def test_k_anonymity_class_sizes_add_up(spark, sf_dir):
+    rows = SPECS["priv_k_anonymity"].fn(spark, sf_dir).collect()
+    n_customers = load_table(spark, sf_dir, "customer").count()
+    assert len(rows) == n_customers
+    import collections
+
+    classes = collections.Counter(
+        (r["c_nationkey"], r["c_mktsegment"], r["bal_band"]) for r in rows
+    )
+    for r in rows:
+        k = classes[(r["c_nationkey"], r["c_mktsegment"], r["bal_band"])]
+        assert r["k"] == k
+        assert r["suppressed"] == (k < 5)
+
+
+def test_pseudonymize_is_deterministic_and_key_hiding(spark, sf_dir):
+    a = {r["cust_pseudo"]: r["n_orders"] for r in
+         SPECS["priv_pseudonymize"].fn(spark, sf_dir).collect()}
+    b = {r["cust_pseudo"]: r["n_orders"] for r in
+         SPECS["priv_pseudonymize"].fn(spark, sf_dir).collect()}
+    assert a == b, "same salt+key must pseudonymize identically across runs"
+    assert all(len(p) == 16 for p in a)
+    # Pseudonym must not leak the key: no pseudonym equals a raw custkey hex.
+    o = load_table(spark, sf_dir, "orders")
+    keys = {format(r["o_custkey"], "x") for r in o.select("o_custkey").distinct().collect()}
+    assert not (set(a) & keys)
+
+
+def test_sorted_neighborhood_is_linear_in_pairs(spark, sf_dir):
+    df = SPECS["link_sorted_neighborhood"].fn(spark, sf_dir)
+    n_parts = load_table(spark, sf_dir, "part").count()
+    n_pairs = df.count()
+    assert n_pairs <= 3 * n_parts, "SNM window of 3 bounds candidate pairs"
+    for r in df.limit(50).collect():
+        assert r["a_name"] != r["b_name"]
+        assert 0 < r["dist"] <= 3
+
+
+def test_seasonal_profile_broadcasts_onto_fact(spark, sf_dir):
+    df = SPECS["ts_seasonal_decompose"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan, "24-row seasonal profile must broadcast"
+    rows = df.collect()
+    for r in rows:
+        assert abs(r["value"] - r["seasonal"] - r["residual"]) < 1e-6
+        assert 0 <= r["hod"] <= 23
+
+
+def test_churn_label_consistency(spark, sf_dir):
+    rows = SPECS["ts_churn_label"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r["n_events"] >= r["active_days"] >= 1
+        # churned = timestamp gap > 7 days; days_silent is the DATE diff,
+        # so the two can disagree by at most one calendar day.
+        if r["churned"]:
+            assert r["days_silent"] >= 7
+        else:
+            assert r["days_silent"] <= 8
