@@ -85,6 +85,7 @@ from etl_caic_spark.plans import mlq4  # noqa: F401,E402
 from etl_caic_spark.plans import privacyq  # noqa: F401,E402
 from etl_caic_spark.plans import linkageq  # noqa: F401,E402
 from etl_caic_spark.plans import timeseries2q  # noqa: F401,E402
+from etl_caic_spark.plans import analytics5q  # noqa: F401,E402
 
 # Driver window (positions 0..49). Families with no driver row yet come
 # first; the last slots are stable core representatives (canaries).

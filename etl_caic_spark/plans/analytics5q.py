@@ -1,0 +1,235 @@
+"""Analytics queries, part 5: snapshot diffing (change-data generation),
+last-touch marketing attribution, and calendar-dimension rollup with
+zero-fill — warehouse staples not yet covered by the cdc_*/clickstream/
+ts_* families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_caic_spark.registry import register
+from etl_caic_spark.sources import load_table
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 100 <> 7
+    ), v2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 10 = 0 THEN 500 ELSE 0 END AS cents
+      FROM orders WHERE o_orderkey % 100 <> 13
+    )
+    SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+                WHEN v2.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           v1.cents AS old_cents, v2.cents AS new_cents
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.cents <> v2.cents OR v1.o_orderstatus <> v2.o_orderstatus
+    """,
+    tags=("lakehouse", "cdc"),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data generation by diffing two table snapshots (the
+    inverse of cdc_apply_changes, plans/relational*): full outer join on
+    the key, emit insert/delete/update rows, suppress unchanged ones.
+    Snapshots are deterministic derivations of `orders` (v1 drops keys
+    =7 mod 100; v2 drops =13 mod 100 and bumps every 10th price by $5).
+
+    Plan: one shuffle on the join key for the full outer sort-merge —
+    the minimal shape for whole-table diff. At 100 TB both snapshots
+    would be bucketed/sorted by key on disk, turning this into a
+    zero-shuffle zipper merge (the layout the layout_* and
+    join_bucketed queries pin). Prices compared in integer cents.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    v1 = o.filter(F.col("o_orderkey") % 100 != 7).select(
+        "o_orderkey", "o_orderstatus", cents.alias("cents")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 100 != 13).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 10 == 0, F.lit(500)).otherwise(0)
+        ).alias("cents"),
+    )
+    j = v1.alias("v1").join(
+        v2.alias("v2"), F.col("v1.o_orderkey") == F.col("v2.o_orderkey"), "full_outer"
+    )
+    return j.filter(
+        F.col("v1.o_orderkey").isNull()
+        | F.col("v2.o_orderkey").isNull()
+        | (F.col("v1.cents") != F.col("v2.cents"))
+        | (F.col("v1.o_orderstatus") != F.col("v2.o_orderstatus"))
+    ).select(
+        F.coalesce("v1.o_orderkey", "v2.o_orderkey").alias("o_orderkey"),
+        F.when(F.col("v1.o_orderkey").isNull(), "insert")
+        .when(F.col("v2.o_orderkey").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        F.col("v1.cents").alias("old_cents"),
+        F.col("v2.cents").alias("new_cents"),
+    )
+
+
+@register(
+    "attrib_last_touch",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_id END IGNORE NULLS) OVER w
+               AS touch_id,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN ts END IGNORE NULLS) OVER w AS touch_ts,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS) OVER w
+               AS touch_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CASE WHEN touch_ts >= ts - INTERVAL 7 DAY THEN touch_id END
+             AS touch_id,
+           CASE WHEN touch_ts >= ts - INTERVAL 7 DAY THEN touch_type END
+             AS touch_type,
+           CASE WHEN touch_ts >= ts - INTERVAL 7 DAY
+                THEN CAST(date_diff('second', touch_ts, ts) AS BIGINT) END
+             AS seconds_since_touch
+    FROM ordered WHERE event_type = 'purchase'
+    """,
+    tags=("analytics", "clickstream"),
+)
+def attrib_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent preceding click/view within a 7-day lookback (NULL touch
+    = unattributed/direct). The carry-forward is last_value(CASE...)
+    IGNORE NULLS over (user, time) — all three touch columns ride the
+    same window ordering so they come from the same touch row.
+
+    Plan: one shuffle on user_id for the window sort; the purchase
+    filter happens after the carry (it must see non-purchase rows).
+    Per-user event streams are the partition unit — the natural key at
+    any scale, same shape as sessionize_window. Tie-safe ordering via
+    (ts, event_id).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    ordered = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_id"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    in_window = F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    return ordered.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.when(in_window, F.col("touch_id")).alias("touch_id"),
+        F.when(in_window, F.col("touch_type")).alias("touch_type"),
+        F.when(
+            in_window,
+            (F.unix_timestamp("ts") - F.unix_timestamp("touch_ts")).cast("bigint"),
+        ).alias("seconds_since_touch"),
+    )
+
+
+@register(
+    "dim_calendar_rollup",
+    oracle="""
+    WITH span AS (
+      SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+             CAST(max(o_orderdate) AS DATE) AS d1
+      FROM orders
+    ), cal AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM span
+    ), daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(year(day) AS INT) AS yr, CAST(quarter(day) AS INT) AS qtr,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(count(n_orders) AS BIGINT) AS n_active_days,
+           CAST(coalesce(sum(n_orders), 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(sum(revenue_cents), 0) AS BIGINT) AS revenue_cents
+    FROM cal LEFT JOIN daily USING (day)
+    GROUP BY 1, 2
+    """,
+    tags=("analytics", "timeseries"),
+)
+def dim_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension generation + zero-filled quarterly rollup:
+    synthesize the full day spine between min and max order date
+    (sequence+explode — no physical calendar table needed), left-join
+    daily order aggregates onto it, and roll up to quarters so gaps
+    (days with zero orders) still count toward n_days.
+
+    Plan: the spine derives from a 2-row aggregate (broadcast), daily
+    aggregates are one groupBy over the fact scan, and the spine-side
+    left join broadcasts the DAILY aggregate (a few thousand rows per
+    decade at any fact scale — the dimension, not the facts, rides the
+    broadcast). Revenue in integer cents end-to-end.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    span = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    )
+    cal = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+    return (
+        cal.join(F.broadcast(daily), "day", "left")
+        .groupBy(
+            F.year("day").cast("int").alias("yr"),
+            F.quarter("day").cast("int").alias("qtr"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.count("n_orders").cast("bigint").alias("n_active_days"),
+            F.coalesce(F.sum("n_orders"), F.lit(0))
+            .cast("bigint")
+            .alias("n_orders"),
+            F.coalesce(F.sum("revenue_cents"), F.lit(0))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
