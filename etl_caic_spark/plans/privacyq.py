@@ -111,3 +111,78 @@ def priv_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_orderstatus").cast("bigint").alias("n_statuses"),
         F.round(F.sum("cents").cast("double") / 100, 2).alias("total_spend"),
     )
+
+
+@register(
+    "priv_dp_noisy_counts",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS true_count
+      FROM customer GROUP BY 1, 2
+    ), u AS (
+      SELECT *,
+             (CAST(('0x' || substr(md5('dp-seed-v1|' || CAST(c_nationkey AS VARCHAR)
+                    || '|' || c_mktsegment), 1, 8)) AS BIGINT) + 0.5)
+               / 4294967296.0 AS unif
+      FROM g
+    )
+    SELECT c_nationkey, c_mktsegment, true_count,
+           CAST(true_count + round(
+             -1.0 * CASE WHEN unif >= 0.5 THEN 1.0 ELSE -1.0 END
+             * ln(1.0 - 2.0 * abs(unif - 0.5))) AS BIGINT) AS noisy_count
+    FROM u
+    """,
+    tags=("privacy",),
+)
+def priv_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of (nation, segment) counts via
+    the Laplace mechanism at epsilon=1 (scale b = sensitivity/eps = 1):
+    noise = -b * sign(u - 0.5) * ln(1 - 2|u - 0.5|), the standard
+    inverse-CDF draw.
+
+    The uniform draw is hash-seeded from the GROUP KEY (md5 of a
+    versioned seed + key, first 32 bits, +0.5 to keep u strictly inside
+    (0,1) and never exactly 0.5) — deterministic, so releases are
+    reproducible and the DuckDB twin matches bit-for-bit. NOTE: keyed
+    determinism means repeated releases don't accumulate privacy budget
+    across runs but also can't average the noise away; rotating the
+    seed version is the budget spend. Plan: one groupBy, then pure
+    scalar codegen — DP adds zero distributed cost at any scale.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("true_count")
+    )
+    unif = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dp-seed-v1|"),
+                        F.col("c_nationkey").cast("string"),
+                        F.lit("|"),
+                        F.col("c_mktsegment"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    noise = F.round(
+        F.lit(-1.0)
+        * F.when(F.col("unif") >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(F.col("unif") - F.lit(0.5)))
+    )
+    return (
+        g.withColumn("unif", unif)
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "true_count",
+            (F.col("true_count") + noise).cast("bigint").alias("noisy_count"),
+        )
+    )
