@@ -233,3 +233,148 @@ def dim_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "cust_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderdate) AS corpus_end FROM orders),
+    base AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                            CAST(corpus_end AS DATE)) AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders CROSS JOIN mx
+      GROUP BY o_custkey, corpus_end
+    ), scored AS (
+      SELECT *,
+             CAST(ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+                  AS INT) AS r_score,
+             CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC)
+                  AS INT) AS f_score,
+             CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey ASC)
+                  AS INT) AS m_score
+      FROM base
+    )
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           CASE WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
+                WHEN r_score <= 2 THEN 'recent'
+                WHEN f_score <= 2 THEN 'loyal'
+                WHEN r_score >= 4 AND f_score >= 4 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+    tags=("analytics",),
+)
+def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order at the
+    corpus end), frequency, monetary (integer cents), each quintiled by
+    ntile(5) with a custkey tie-break so bucket boundaries are
+    deterministic, then a rule-based segment label.
+
+    Plan: one groupBy(custkey) pass for the three features, then three
+    ntile windows. The windows are GLOBAL orderings — the honest cost
+    of exact quantile ranks; at 100 TB you'd swap ntile for
+    percentile-bucket joins against approx quantile boundaries
+    (feat_bin_quantile, plans/mlq2.py, is that scale path) — this query
+    pins the exact semantics the approximation must converge to.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("corpus_end"))
+    base = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "corpus_end")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff(
+                F.col("corpus_end").cast("date"), F.col("last_order").cast("date")
+            )
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    scored = base.select(
+        "*",
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey")))
+        .cast("int")
+        .alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")
+        .when(F.col("r_score") <= 2, "recent")
+        .when(F.col("f_score") <= 2, "loyal")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "at_risk")
+        .otherwise("regular"),
+    )
+
+
+@register(
+    "dq_freshness",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS corpus_end FROM events),
+    per_type AS (
+      SELECT event_type,
+             max(ts) AS latest,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT event_type,
+           strftime(latest, '%Y-%m-%d %H:%M:%S') AS latest,
+           n_events,
+           CAST(date_diff('second', latest, corpus_end) AS BIGINT)
+             AS staleness_sec,
+           date_diff('second', latest, corpus_end) > 86400 AS stale
+    FROM per_type CROSS JOIN mx
+    """,
+    tags=("dq", "timeseries"),
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness monitor: how far each event_type's latest
+    record lags the corpus watermark, flagged stale past 24 h — the
+    standard ingestion-health gate next to dq_volume_anomaly
+    (plans/relational12.py).
+
+    Plan: one map-side-partial groupBy over event_type (5 groups) plus
+    a broadcast scalar watermark — a metadata-cost query even at
+    100 TB, and with parquet footer statistics the max(ts) per
+    partition can come from statistics alone (lakehouse_stats_skipping
+    pins that path).
+    """
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("corpus_end"))
+    per_type = e.groupBy("event_type").agg(
+        F.max("ts").alias("latest"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    lag_sec = (
+        F.unix_timestamp("corpus_end") - F.unix_timestamp("latest")
+    ).cast("bigint")
+    return per_type.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.date_format("latest", "yyyy-MM-dd HH:mm:ss").alias("latest"),
+        "n_events",
+        lag_sec.alias("staleness_sec"),
+        (lag_sec > 86400).alias("stale"),
+    )

@@ -246,3 +246,67 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         F.col("v").alias("user_id"), F.col("hop").cast("int").alias("hops")
     )
+
+
+@register(
+    "graph_reciprocity",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events
+    ), seq AS (
+      SELECT lag(user_id) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS src,
+             user_id AS dst
+      FROM ev
+    ), edges AS (
+      SELECT DISTINCT src, dst FROM seq
+      WHERE src IS NOT NULL AND src <> dst
+    )
+    SELECT e.src AS user_id,
+           CAST(count(*) AS BIGINT) AS out_degree,
+           CAST(count(r.src) AS BIGINT) AS n_reciprocal,
+           round(count(r.src) * 1.0 / count(*), 6) AS reciprocity
+    FROM edges e
+    LEFT JOIN edges r ON e.src = r.dst AND e.dst = r.src
+    GROUP BY 1
+    """,
+    tags=("graph",),
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node edge reciprocity over the directed interaction graph
+    (same deterministic edge derivation as graph_pagerank above):
+    out_degree, reciprocated-edge count (the reverse edge exists), and
+    their ratio.
+
+    Plan: the distinct edge list built once, then a self left-join on
+    the REVERSED key pair — one shuffle each side on (src,dst) /
+    (dst,src); the join output is at most |E| rows (edge keys are
+    unique after distinct), so reciprocity is strictly linear in edges.
+    Skew note: a celebrity node inflates one join partition; orienting
+    the probe by the lower id halves that (the graph_triangles guard) —
+    unnecessary here since the join key is the full edge pair, which is
+    near-unique by construction.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        F.lag("user_id").over(w).alias("src"), F.col("user_id").alias("dst")
+    )
+    edges = (
+        seq.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    rev = edges.select(F.col("src").alias("r_src"), F.col("dst").alias("r_dst"))
+    joined = edges.join(
+        rev,
+        (F.col("src") == F.col("r_dst")) & (F.col("dst") == F.col("r_src")),
+        "left",
+    )
+    return joined.groupBy(F.col("src").alias("user_id")).agg(
+        F.count("*").cast("bigint").alias("out_degree"),
+        F.count("r_src").cast("bigint").alias("n_reciprocal"),
+        F.round(F.count("r_src") * F.lit(1.0) / F.count("*"), 6).alias(
+            "reciprocity"
+        ),
+    )

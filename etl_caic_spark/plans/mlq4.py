@@ -222,3 +222,99 @@ def ml_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "true_lang", F.col("lang").alias("pred_lang"), "score_micro"
         )
     )
+
+
+def _gram_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 16x16 integer Gram matrix: mirror the upper triangle of
+    embed_gram_matrix (plans/mlq3.py) across the diagonal."""
+    from etl_caic_spark.plans.mlq3 import embed_gram_matrix
+
+    tri = embed_gram_matrix(spark, sf_dir)
+    lower = tri.filter(F.col("i") != F.col("j")).select(
+        F.col("j").alias("i"), F.col("i").alias("j"), "dot"
+    )
+    return tri.unionByName(lower)
+
+
+_PCA_ORACLE_GRAM = """
+    tri AS (
+      SELECT CAST(gi.i AS INT) AS i, CAST(gj.j AS INT) AS j,
+             CAST(sum(CAST(round(CAST(embedding[gi.i] AS DOUBLE) * 1000)
+                           AS BIGINT)
+                      * CAST(round(CAST(embedding[gj.j] AS DOUBLE) * 1000)
+                             AS BIGINT)) AS BIGINT) AS dot
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, 16)) AS i) gi,
+           LATERAL (SELECT unnest(generate_series(1, 16)) AS j) gj
+      WHERE gj.j >= gi.i
+      GROUP BY 1, 2
+    ), g AS (
+      SELECT i, j, dot FROM tri
+      UNION ALL
+      SELECT j AS i, i AS j, dot FROM tri WHERE i <> j
+    )"""
+
+
+def _matvec_sql(vprev: str, vnext: str) -> str:
+    """One quantized power-iteration step as SQL CTEs: exact integer
+    matvec, then renormalize to +-1e6 by the (exact) max abs entry."""
+    return f"""
+    {vnext}_w AS (
+      SELECT g.i AS i, CAST(sum(g.dot * {vprev}.v) AS BIGINT) AS w
+      FROM g JOIN {vprev} ON g.j = {vprev}.i GROUP BY 1
+    ), {vnext} AS (
+      SELECT i, CAST(round(w * 1.0 / (SELECT max(abs(w)) FROM {vnext}_w)
+                           * 1000000) AS BIGINT) AS v
+      FROM {vnext}_w
+    )"""
+
+
+@register(
+    "embed_pca_power",
+    oracle="WITH "
+    + _PCA_ORACLE_GRAM
+    + """, v0 AS (
+      SELECT unnest(generate_series(1, 16)) AS i, CAST(1000000 AS BIGINT) AS v
+    ),"""
+    + _matvec_sql("v0", "v1")
+    + ","
+    + _matvec_sql("v1", "v2")
+    + ","
+    + _matvec_sql("v2", "v3")
+    + """
+    SELECT CAST(i AS INT) AS coord, v AS v_micro FROM v3
+    """,
+    tags=("ml", "linalg", "iterative"),
+)
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding Gram matrix by THREE
+    quantized power-iteration steps: v <- round(G v / max|G v| * 1e6),
+    starting from the all-ones vector.
+
+    Every matvec is an exact BIGINT sum (G entries are the integer
+    milli-unit Gram of embed_gram_matrix; v stays in integer micros),
+    and the one division per step is a deterministic scalar op — so an
+    ITERATIVE eigensolver becomes a hash-exact relational query on both
+    engines. Scale: the distributed work is only the Gram build
+    (O(batches*d^2) shuffle, independent of row count); the iteration
+    itself touches d^2=256 rows and would run on the driver at any
+    scale — it's expressed relationally here to prove the semantics.
+    """
+    g = _gram_full(spark, sf_dir).localCheckpoint()
+    v = spark.range(1, 17).select(
+        F.col("id").cast("int").alias("i"), F.lit(1000000).cast("bigint").alias("v")
+    )
+    for _ in range(3):
+        w = (
+            g.join(v.select(F.col("i").alias("j"), "v"), "j")
+            .groupBy(g["i"])
+            .agg(F.sum(F.col("dot") * F.col("v")).cast("bigint").alias("w"))
+        )
+        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+        v = w.crossJoin(F.broadcast(mx)).select(
+            "i",
+            F.round(F.col("w") * F.lit(1.0) / F.col("mx") * F.lit(1000000))
+            .cast("bigint")
+            .alias("v"),
+        )
+    return v.select(F.col("i").cast("int").alias("coord"), F.col("v").alias("v_micro"))

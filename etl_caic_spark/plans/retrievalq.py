@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
@@ -291,4 +292,100 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "b_id")
         .filter(F.col("n_inter") * 10 >= F.least("n_a", "n_b") * 8)
         .select("a_id", "b_id", "n_inter", "n_a", "n_b")
+    )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH counts AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY 1
+    ), ranked AS (
+      SELECT term, c,
+             CAST(row_number() OVER (ORDER BY c DESC, term ASC) AS BIGINT)
+               AS rnk
+      FROM counts
+    ), q AS (
+      SELECT CAST(round(ln(rnk) * 1000000) AS BIGINT) AS xq,
+             CAST(round(ln(c) * 1000000) AS BIGINT) AS yq
+      FROM ranked
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+             CAST(sum(xq * yq) AS BIGINT) AS sxy,
+             CAST(sum(xq * xq) AS BIGINT) AS sxx
+      FROM q
+    ), fit AS (
+      SELECT n, sx, sy,
+             (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) AS slope_raw
+      FROM s
+    )
+    SELECT n AS n_terms,
+           round(slope_raw, 6) AS zipf_slope,
+           round((sy * 1.0 / n - slope_raw * (sx * 1.0 / n)) / 1000000, 6)
+             AS zipf_intercept
+    FROM fit
+    """,
+    tags=("text", "llm"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus term distribution: OLS of ln(freq)
+    on ln(rank) (a healthy natural-language corpus slopes near -1; word
+    soup or boilerplate-heavy corpora deviate — a cheap corpus-level
+    quality signal next to the per-doc text_quality gates).
+
+    log-rank/log-freq are quantized to integer micros per term, so the
+    five OLS sums are exact integers and the closed-form slope/
+    intercept is one deterministic division on each engine. Plan: one
+    term groupBy, one vocabulary-sized ranking window, then a scalar
+    aggregate — linear in tokens, and the regression itself costs
+    O(vocab).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    ranked = counts.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("term")))
+        .cast("bigint")
+        .alias("rnk"),
+    )
+    q = ranked.select(
+        F.round(F.log("rnk") * F.lit(1000000)).cast("bigint").alias("xq"),
+        F.round(F.log("c") * F.lit(1000000)).cast("bigint").alias("yq"),
+    )
+    s = q.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("xq").cast("bigint").alias("sx"),
+        F.sum("yq").cast("bigint").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("bigint").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("bigint").alias("sxx"),
+    )
+    fit = s.select(
+        "n",
+        "sx",
+        "sy",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * F.lit(1.0)
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("slope_raw"),
+    )
+    return fit.select(
+        F.col("n").alias("n_terms"),
+        F.round("slope_raw", 6).alias("zipf_slope"),
+        F.round(
+            (
+                F.col("sy") * F.lit(1.0) / F.col("n")
+                - F.col("slope_raw") * (F.col("sx") * F.lit(1.0) / F.col("n"))
+            )
+            / F.lit(1000000),
+            6,
+        ).alias("zipf_intercept"),
     )

@@ -366,6 +366,126 @@ def main():
                     )
                 )
             ),
+            # r5 session 2: containment dedup — candidate pairs from the
+            # shingle equi-join only; the alphabet rotation keeps replicas
+            # shingle-disjoint, so candidate volume grows with the corpus,
+            # not its square.
+            "containment_dedup": timeit(
+                lambda: noop(
+                    (
+                        lambda sh: (
+                            lambda sizes: sh.select(
+                                F.col("doc_id").alias("a_id"), "shingle"
+                            )
+                            .join(
+                                sh.select(F.col("doc_id").alias("b_id"), "shingle"),
+                                "shingle",
+                            )
+                            .filter(F.col("a_id") < F.col("b_id"))
+                            .groupBy("a_id", "b_id")
+                            .agg(F.count("*").alias("n_inter"))
+                            .join(
+                                sizes.select(
+                                    F.col("doc_id").alias("a_id"),
+                                    F.col("n_sh").alias("n_a"),
+                                ),
+                                "a_id",
+                            )
+                            .join(
+                                sizes.select(
+                                    F.col("doc_id").alias("b_id"),
+                                    F.col("n_sh").alias("n_b"),
+                                ),
+                                "b_id",
+                            )
+                            .filter(
+                                F.col("n_inter") * 10
+                                >= F.least("n_a", "n_b") * 8
+                            )
+                        )(
+                            sh.groupBy("doc_id").agg(
+                                F.count("*").alias("n_sh")
+                            )
+                        )
+                    )(
+                        docs.select("doc_id", F.split("text", " ").alias("ws"))
+                        .filter(F.size("ws") >= 3)
+                        .select(
+                            "doc_id",
+                            F.explode(
+                                F.expr(
+                                    "transform(sequence(0, size(ws) - 3),"
+                                    " i -> concat_ws(' ', ws[i], ws[i+1],"
+                                    " ws[i+2]))"
+                                )
+                            ).alias("shingle"),
+                        )
+                        .distinct()
+                    )
+                )
+            ),
+            # r5 session 2: basket pair join — pairs bounded by per-order
+            # basket size k (constant as orders replicate), so O(orders*k^2)
+            # must grow linearly with the factor.
+            "basket_pairs": timeit(
+                lambda: noop(
+                    (
+                        lambda items: items.select(
+                            "okey", F.col("item").alias("ante")
+                        )
+                        .join(
+                            items.select("okey", F.col("item").alias("cons")),
+                            "okey",
+                        )
+                        .filter(F.col("ante") < F.col("cons"))
+                        .groupBy("ante", "cons")
+                        .agg(F.count("*").alias("supp_ab"))
+                    )(
+                        li.join(
+                            F.broadcast(load_table(spark, SF_DIR, "part")),
+                            F.col("l_partkey") == F.col("p_partkey"),
+                        )
+                        .select(
+                            F.col("l_orderkey").alias("okey"),
+                            F.col("p_brand").alias("item"),
+                        )
+                        .distinct()
+                    )
+                )
+            ),
+            # r5 session 2: NB training grid — explode+groupBy is linear in
+            # tokens; the class x vocab grid stays bounded (vocab saturates
+            # at the 36 rotation variants of the base alphabet).
+            "nb_train_grid": timeit(
+                lambda: noop(
+                    (
+                        lambda train: (
+                            lambda counts, tots, terms: tots.crossJoin(
+                                F.broadcast(terms)
+                            )
+                            .join(counts, ["lang", "term"], "left")
+                            .select(
+                                "lang",
+                                "term",
+                                F.coalesce("cnt", F.lit(0)).alias("cnt"),
+                            )
+                        )(
+                            train.groupBy("lang", "term").agg(
+                                F.count("*").alias("cnt")
+                            ),
+                            train.groupBy("lang").agg(
+                                F.count("*").alias("tot")
+                            ),
+                            train.select("term").distinct(),
+                        )
+                    )(
+                        docs.select(
+                            "lang",
+                            F.explode(F.split("text", " ")).alias("term"),
+                        )
+                    )
+                )
+            ),
             "pagerank": timeit(
                 lambda: noop(
                     pagerank(
