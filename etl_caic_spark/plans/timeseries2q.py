@@ -125,3 +125,56 @@ def ts_churn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.col("corpus_end") - F.expr("INTERVAL 7 DAYS")
         ).alias("churned"),
     )
+
+
+@register(
+    "ts_business_days",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, o_orderdate, l_shipdate,
+             datediff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE))
+               AS j0,
+             datediff('day', DATE '1970-01-05', CAST(l_shipdate AS DATE))
+               AS j1
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_orderkey % 51 = 0
+    )
+    SELECT l_orderkey, l_linenumber,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+           CAST(j1 - j0 AS BIGINT) AS calendar_days,
+           CAST((j1 // 7 * 5 + least(j1 % 7, 5))
+                - (j0 // 7 * 5 + least(j0 % 7, 5)) AS BIGINT)
+             AS business_days
+    FROM li
+    """,
+    tags=("timeseries", "fn"),
+)
+def ts_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business days (Mon-Fri) between order and ship date in O(1) per
+    row — no per-day explode: g(d) = (j DIV 7)*5 + least(j mod 7, 5)
+    counts business days from a fixed Monday epoch (1970-01-05) to d,
+    so BD[a, b) = g(b) - g(a). The closed form is what survives scale;
+    the generate_series-per-row alternative multiplies the row count by
+    the average date span.
+
+    Plan: broadcast-eligible orders side after the keyed sample filter,
+    then pure codegen arithmetic; date keys stay integers throughout.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 51 == 0
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    epoch_monday = F.lit("1970-01-05").cast("date")
+    j0 = F.datediff(F.col("o_orderdate").cast("date"), epoch_monday)
+    j1 = F.datediff(F.col("l_shipdate").cast("date"), epoch_monday)
+    g0 = (j0 - F.pmod(j0, 7)) / 7 * 5 + F.least(F.pmod(j0, 7), F.lit(5))
+    g1 = (j1 - F.pmod(j1, 7)) / 7 * 5 + F.least(F.pmod(j1, 7), F.lit(5))
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        (j1 - j0).cast("bigint").alias("calendar_days"),
+        (g1 - g0).cast("bigint").alias("business_days"),
+    )
