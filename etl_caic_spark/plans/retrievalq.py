@@ -217,11 +217,15 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH words AS (
       SELECT doc_id, string_split(text, ' ') AS ws
       FROM documents WHERE doc_id % 2 = 0
-    ), sh AS (
+    ), sh0 AS (
       SELECT DISTINCT doc_id,
              ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
             FROM words)
+    ), sh AS (
+      SELECT doc_id, shingle
+      FROM (SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM sh0)
+      WHERE df <= 100
     ), sizes AS (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
     ), inter AS (
@@ -248,11 +252,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catches doc-embeds-doc near-duplicates that symmetric Jaccard
     misses: a doc fully contained in a 10x larger doc has Jaccard ~0.1
     but containment 1.0. Candidate pairs come only from the shingle
-    equi-join (shuffle on shingle hash — no all-pairs); at 100 TB hot
-    shingles are the skew risk, the same profile as
-    dedup_ngram_jaccard's capped variant (operators/dedup.py), and AQE
-    skew-join splitting applies. Sizes join back by doc_id (bounded,
-    one row per doc).
+    equi-join (shuffle on shingle hash — no all-pairs), and STOP
+    SHINGLES (df > 100) are dropped before the join — the same guard as
+    dedup_jaccard_capped (operators/dedup.py max_shingle_df): a hot
+    boilerplate shingle shared by k docs would otherwise emit k^2
+    candidate pairs, the quadratic that kills shingle joins on real
+    corpora. NOTE the cap also changes what "containment" means here:
+    intersection/size count only NON-stop shingles (both engines and
+    the size table agree on that definition). Sizes join back by doc_id
+    (bounded, one row per doc).
     """
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
     # Guard: F.sequence(0, size-3) on a <3-word doc would run DESCENDING
@@ -262,7 +270,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select("doc_id", F.split("text", " ").alias("ws")).filter(
         F.size("ws") >= 3
     )
-    sh = words.select(
+    sh0 = words.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -276,6 +284,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingle"),
     ).distinct()
+    sh = (
+        sh0.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= 100)
+        .drop("df")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_sh"))
     x = sh.select(F.col("doc_id").alias("a_id"), "shingle")
     y = sh.select(F.col("doc_id").alias("b_id"), "shingle")
