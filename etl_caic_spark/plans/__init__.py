@@ -87,54 +87,49 @@ from etl_caic_spark.plans import linkageq  # noqa: F401,E402
 from etl_caic_spark.plans import timeseries2q  # noqa: F401,E402
 from etl_caic_spark.plans import analytics5q  # noqa: F401,E402
 
-# Driver window (positions 0..49). Families with no driver row yet come
-# first; the last slots are stable core representatives (canaries).
-# Late-round-5 recuration: waves 12-16 (TPC-H completion, exact OLS,
-# quantile binning, bigram LM, stats skipping, deletion vectors, image
-# stats, weighted SSSP, haversine kNN, skew/kurtosis, DQ suite, KMV set
-# ops, span dedup, weighted sampling, point-in-polygon, retention
-# cohorts) each take one slot from an EARLIER round-5 family sibling
-# (bloom/histogram sketches, gif codec, interpolate/ohlc/ewma ts, log
-# replay, scale_robust, degree/triangles graph, boilerplate/normalized
-# text, decimal agg, gaps-islands) — those stay green in the identical
-# local oracle and rotate back in round 6.
-# Round-5 edit: (a) every query CHANGED or ADDED this round leads the
-# window so the driver verifies it — the re-oracled flagship/sampling/LSH
-# queries, the codec and skew-join additions, and the late-round-5 wave
-# (bitmap distinct, FILTER aggregates, NOT IN 3VL, TPC-H Q10, CDC apply,
-# grid spatial join, linear-interp gapfill, BFS hops, dynamic partition
-# overwrite); (b) the remaining slots keep never-driver-sampled
-# heavyweights the r4 verdict named (curation flagship, graph, rollup,
-# time-series, subqueries, TPC-H shapes, scale patterns). The displaced
-# light fn_*/agg_*/win_* queries rotate in round 6; all are green in the
-# identical local oracle run (tests/test_oracle.py) meanwhile.
-# Final round-5 recuration: waves 21-26 lead with one representative per
-# new family (ML eval, diversity gates, wedge-join graph, media patchify,
-# streaming CDC merge, partition evolution, corrupt tolerance, multi-
-# distinct FILTER, quadkey tiles); they displace family siblings whose
-# pattern is already represented in the window or driver-green
-# (wav_features, merge_full, asof_nearest, kmv_setops, target_encode,
-# haversine_knn, time_travel, vacuum, interval_overlap, bfs_hops,
-# skew_kurtosis, simhash_md5, tpch_q2) — all stay green in the identical
-# local oracle (tests/test_oracle.py) and rotate back in round 6.
+# Round-5 session-2 recuration: the 22 queries ADDED this session lead
+# (retrieval/Zipf, basket rules, naive Bayes + PCA power, privacy trio,
+# SNM linkage + entity resolution, seasonal/churn/business-days TS,
+# snapshot diff / attribution / calendar / RFM / freshness, graph
+# reciprocity) — every one must get its first driver row; next come the
+# r4-changed set the driver has still never re-verified (flagship,
+# sampling, LSH scale config, salted join, BMP codec, portable MinHash)
+# and the never-sampled flagships; the remaining slots keep one
+# representative per still-unsampled family. Displaced (all green in the
+# identical local oracle run, tests/test_oracle.py, rotating back next
+# round): join_aqe_skew, eval_regression_metrics, feat_target_encode_loo,
+# text_word_entropy, text_vocab_coverage, dq_volume_anomaly,
+# graph_jaccard_links, multimodal_patchify, lakehouse_partition_evolution,
+# agg_distinct_filter, geo_quadkey_rollup, agg_filter_clause,
+# subquery_not_in_nulls, geo_grid_join, ts_retention_cohorts,
+# sink_partition_overwrite, stat_linreg_group,
+# scan_dynamic_partition_pruning, lakehouse_delete_vectors,
+# sample_weighted_topk, text_bigram_logprob, graph_sssp_weighted.
 _DRIVER_WINDOW = [
-    # waves 21-26 (late round 5): one representative per new family
-    "mm_training_prep_pipeline",
-    "join_aqe_skew",
-    "eval_auc_exact",
-    "eval_regression_metrics",
-    "feat_target_encode_loo",
-    "text_word_entropy",
-    "text_vocab_coverage",
-    "dq_volume_anomaly",
-    "graph_jaccard_links",
-    "multimodal_patchify",
-    "stream_cdc_merge",
-    "lakehouse_partition_evolution",
-    "scan_parquet_corrupt_tolerance",
-    "agg_distinct_filter",
-    "geo_quadkey_rollup",
-    # changed this round — driver must re-verify
+    # new this session — first driver verification
+    "text_bm25_topk",
+    "text_pmi_bigrams",
+    "dedup_containment",
+    "text_zipf_fit",
+    "basket_assoc_rules",
+    "ml_nb_train",
+    "ml_nb_classify",
+    "embed_pca_power",
+    "priv_k_anonymity",
+    "priv_pseudonymize",
+    "priv_dp_noisy_counts",
+    "link_sorted_neighborhood",
+    "link_entity_resolution",
+    "ts_seasonal_decompose",
+    "ts_churn_label",
+    "ts_business_days",
+    "snapshot_diff",
+    "attrib_last_touch",
+    "dim_calendar_rollup",
+    "cust_rfm_segments",
+    "dq_freshness",
+    "graph_reciprocity",
+    # changed in round 4/5 — driver must (re-)verify
     "caic_pipeline",
     "sample_fraction",
     "sample_stratified",
@@ -142,48 +137,29 @@ _DRIVER_WINDOW = [
     "join_salted_skew",
     "multimodal_bmp_codec",
     "dedup_minhash_md5",
-    # new this round (wave 8 + geo/graph/ts/sink additions)
-    "agg_bitmap_distinct",
-    "agg_filter_clause",
-    "subquery_not_in_nulls",
-    "tpch_q21_shape",
-    "cdc_apply_changes",
-    "geo_grid_join",
-    "ts_retention_cohorts",
-    "sink_partition_overwrite",
-    "dq_constraint_suite",
-    "stat_linreg_group",
-    "clickstream_pipeline",
-    "scan_dynamic_partition_pruning",
-    "lakehouse_delete_vectors",
-    "sink_python_datasource",
-    # late-round-5 wave 10/11 — new FAMILIES, driver must see them once
-    # (the family-sibling queries they displace — tpch_q3/q5/q18,
-    # join_shuffle_hash, agg_salted_skew, funnel_stages, ts_gapfill_locf,
-    # ts_time_weighted_avg — stay green in the identical local oracle and
-    # rotate back in round 6). The TPC-H completion wave sends its two
-    # most distinctive shapes (q2 argmin join-back, q21 grouped-window
-    # anti-semantics) in place of family siblings q10/q7; the other 11
-    # new tpch_q*_shape queries rotate in round 6.
-    "sketch_kmv_distinct",
-    "text_span_dedup",
-    "sample_weighted_topk",
-    "text_bigram_logprob",
-    "lakehouse_stats_skipping",
-    "feat_bin_quantile",
-    "graph_sssp_weighted",
-    # flagship + graph + time-series heavyweights (never driver-sampled)
+    # never-sampled flagships
     "corpus_curation_pipeline",
     "graph_pagerank",
+    "clickstream_pipeline",
+    "mm_training_prep_pipeline",
+    # one representative per never-sampled family
+    "agg_bitmap_distinct",
+    "tpch_q21_shape",
+    "cdc_apply_changes",
+    "stream_cdc_merge",
+    "lakehouse_stats_skipping",
+    "sink_python_datasource",
+    "scan_parquet_corrupt_tolerance",
     "geo_point_in_polygon",
     "rollup_timeseries",
-    # subqueries
     "subquery_lateral_topn",
-    # scale patterns
     "join_bucketed",
-    # streaming remainder (+ the new outer join)
     "stream_outer_join",
-    # scans / formats
+    "eval_auc_exact",
+    "feat_bin_quantile",
+    "sketch_kmv_distinct",
+    "text_span_dedup",
+    "dq_constraint_suite",
 ]
 
 
