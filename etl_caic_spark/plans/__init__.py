@@ -159,7 +159,9 @@ _DRIVER_WINDOW = [
     "feat_bin_quantile",
     "sketch_kmv_distinct",
     "text_span_dedup",
-    "dq_constraint_suite",
+    # dq family is represented by the new dq_freshness above;
+    # dq_constraint_suite rotates next round in its place
+    "mv_join_incremental",
 ]
 
 

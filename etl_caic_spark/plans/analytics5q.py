@@ -378,3 +378,103 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag_sec.alias("staleness_sec"),
         (lag_sec > 86400).alias("stale"),
     )
+
+
+@register(
+    "mv_join_incremental",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 10 = 0 THEN 500 ELSE 0 END AS cents
+      FROM orders WHERE o_orderkey % 100 <> 13
+    )
+    SELECT n_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM v2
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+    tags=("lakehouse", "mv"),
+)
+def mv_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN materialized view — the delta
+    algebra Δ(A⋈B) = ΔA⋈B when only A changes: the per-nation revenue
+    MV is built from snapshot v1, then refreshed with ONLY the v1→v2
+    change rows (same deterministic snapshots as snapshot_diff above;
+    deletes contribute negative counts/cents, inserts positive, updates
+    the difference), and the refreshed MV is returned.
+
+    The oracle is the FULL recompute over v2 — the hash match IS the
+    proof that incremental maintenance converges to the rebuild. Scale:
+    the refresh cost is O(|Δ| join + |MV| merge), independent of |A| —
+    the entire point of IVM at 100 TB; the dimension side broadcasts
+    both in the base build and the delta apply. Groups whose counts
+    cancel to zero are dropped in the merge (a nation all of whose
+    orders were deleted leaves the MV, matching the rebuild).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    dim = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).select("c_custkey", "n_nationkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    v1 = o.filter(F.col("o_orderkey") % 100 != 7).select(
+        "o_orderkey", "o_custkey", cents.alias("cents")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 100 != 13).select(
+        "o_orderkey",
+        "o_custkey",
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 10 == 0, F.lit(500)).otherwise(0)
+        ).alias("cents"),
+    )
+    mv_old = (
+        v1.join(F.broadcast(dim), v1.o_custkey == dim.c_custkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+    # Change rows as +/- deltas (delete: -old, insert: +new, update: both).
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    changes = j.filter(
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (F.col("a.cents") != F.col("b.cents"))
+    )
+    minus = changes.filter(F.col("a.o_orderkey").isNotNull()).select(
+        F.col("a.o_custkey").alias("o_custkey"),
+        F.lit(-1).alias("dn"),
+        (-F.col("a.cents")).alias("dcents"),
+    )
+    plus = changes.filter(F.col("b.o_orderkey").isNotNull()).select(
+        F.col("b.o_custkey").alias("o_custkey"),
+        F.lit(1).alias("dn"),
+        F.col("b.cents").alias("dcents"),
+    )
+    delta = (
+        minus.unionByName(plus)
+        .join(F.broadcast(dim), F.col("o_custkey") == dim.c_custkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.sum("dn").cast("bigint").alias("n_orders"),
+            F.sum("dcents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+    return (
+        mv_old.unionByName(delta)
+        .groupBy("n_nationkey")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
