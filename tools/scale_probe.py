@@ -408,6 +408,9 @@ def main():
                             )
                         )
                     )(
+                        # Stop-shingle df cap (<=100) matches the registered
+                        # dedup_containment; the r5s2 SCALE.md row measured
+                        # the uncapped form (upper bound).
                         docs.select("doc_id", F.split("text", " ").alias("ws"))
                         .filter(F.size("ws") >= 3)
                         .select(
@@ -421,6 +424,12 @@ def main():
                             ).alias("shingle"),
                         )
                         .distinct()
+                        .withColumn(
+                            "df",
+                            F.count("*").over(W.partitionBy("shingle")),
+                        )
+                        .filter(F.col("df") <= 100)
+                        .drop("df")
                     )
                 )
             ),
