@@ -178,3 +178,112 @@ def test_churn_label_consistency(spark, sf_dir):
             assert r["days_silent"] >= 7
         else:
             assert r["days_silent"] <= 8
+
+
+def test_entity_resolution_covers_all_parts_and_closes_matches(spark, sf_dir):
+    res = {r["p_partkey"]: r for r in
+           SPECS["link_entity_resolution"].fn(spark, sf_dir).collect()}
+    n_parts = load_table(spark, sf_dir, "part").count()
+    assert len(res) == n_parts
+    # Every matched pair must land in the same entity, and the canonical
+    # id must be the min member of its cluster.
+    pairs = SPECS["link_sorted_neighborhood"].fn(spark, sf_dir).collect()
+    for p in pairs:
+        assert res[p["a_key"]]["entity_id"] == res[p["b_key"]]["entity_id"]
+    import collections
+
+    clusters = collections.defaultdict(list)
+    for k, r in res.items():
+        clusters[r["entity_id"]].append(k)
+    for eid, members in clusters.items():
+        assert eid == min(members)
+        for m in members:
+            assert res[m]["is_canonical"] == (m == eid)
+
+
+def test_snapshot_diff_classification_counts(spark, sf_dir):
+    rows = SPECS["snapshot_diff"].fn(spark, sf_dir).collect()
+    kinds = {r["change_type"] for r in rows}
+    assert kinds == {"insert", "delete", "update"}
+    for r in rows:
+        if r["change_type"] == "insert":
+            assert r["old_cents"] is None and r["new_cents"] is not None
+        elif r["change_type"] == "delete":
+            assert r["old_cents"] is not None and r["new_cents"] is None
+        else:
+            assert r["old_cents"] != r["new_cents"]
+
+
+def test_mv_incremental_equals_direct_recompute(spark, sf_dir):
+    """The oracle already proves this against DuckDB; this pins the same
+    equality inside Spark so a DuckDB-side coincidence can't mask a bug."""
+    import pyspark.sql.functions as SF
+
+    inc = {r["n_nationkey"]: (r["n_orders"], r["revenue_cents"]) for r in
+           SPECS["mv_join_incremental"].fn(spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    full = (
+        o.filter(SF.col("o_orderkey") % 100 != 13)
+        .withColumn(
+            "cents",
+            SF.round(SF.col("o_totalprice") * 100).cast("bigint")
+            + SF.when(SF.col("o_orderkey") % 10 == 0, SF.lit(500)).otherwise(0),
+        )
+        .join(c, SF.col("o_custkey") == SF.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(SF.count("*").alias("n"), SF.sum("cents").alias("cents"))
+        .collect()
+    )
+    direct = {r["c_nationkey"]: (r["n"], r["cents"]) for r in full}
+    assert inc == direct
+
+
+def test_dp_noise_is_centered_and_bounded(spark, sf_dir):
+    rows = SPECS["priv_dp_noisy_counts"].fn(spark, sf_dir).collect()
+    errs = [r["noisy_count"] - r["true_count"] for r in rows]
+    # Laplace(b=1): errors concentrate near 0; |err| > 15 has prob ~3e-7.
+    assert all(abs(e) <= 15 for e in errs)
+    assert any(e != 0 for e in errs)
+
+
+def test_calendar_rollup_day_accounting(spark, sf_dir):
+    rows = SPECS["dim_calendar_rollup"].fn(spark, sf_dir).collect()
+    total_days = sum(r["n_days"] for r in rows)
+    import pyspark.sql.functions as SF
+
+    o = load_table(spark, sf_dir, "orders")
+    span = o.agg(
+        SF.datediff(
+            SF.max(SF.col("o_orderdate").cast("date")),
+            SF.min(SF.col("o_orderdate").cast("date")),
+        )
+    ).collect()[0][0]
+    assert total_days == span + 1, "day spine must cover the span exactly"
+    for r in rows:
+        assert r["n_active_days"] <= r["n_days"]
+        assert (r["n_orders"] == 0) == (r["n_active_days"] == 0)
+
+
+def test_business_days_formula_vs_bruteforce():
+    import datetime
+
+    def g(d):
+        j = (d - datetime.date(1970, 1, 5)).days
+        return j // 7 * 5 + min(j % 7, 5)
+
+    def brute(a, b):
+        n = 0
+        d = a
+        while d < b:
+            if d.weekday() < 5:
+                n += 1
+            d += datetime.timedelta(days=1)
+        return n
+
+    base = datetime.date(1995, 3, 1)
+    for off in range(0, 40):
+        a = base + datetime.timedelta(days=off)
+        for span in range(0, 25):
+            b = a + datetime.timedelta(days=span)
+            assert g(b) - g(a) == brute(a, b), (a, b)
