@@ -1,0 +1,213 @@
+"""Warehouse-operations queries: keyset pagination, join-key skew
+diagnostics, and bitemporal (valid-time x transaction-time) as-of
+reads — operational patterns around the core analytics surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_caic_spark.registry import register
+from etl_caic_spark.sources import load_table
+
+
+@register(
+    "scan_keyset_pagination",
+    oracle="""
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    WHERE (o_orderdate, o_orderkey) >
+          (TIMESTAMP '1996-06-01 00:00:00', 0)
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+    tags=("scan",),
+)
+def scan_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) pagination: the next 100 orders after cursor
+    (1996-06-01, 0) in (o_orderdate, o_orderkey) order — the
+    scale-safe pagination pattern. OFFSET pagination re-scans and
+    re-sorts everything before the page (O(offset) per page, and
+    inconsistent under concurrent writes); the keyset predicate is
+    sargable, so the scan PRUNES to rows past the cursor (visible as a
+    pushed filter on o_orderdate) and TakeOrderedAndProject keeps only
+    100 rows per partition.
+
+    The tuple comparison is expanded to the standard
+    (a > x) OR (a = x AND b > y) form, which Spark pushes down; DuckDB
+    evaluates the row-value comparison identically.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cursor_ts = F.lit("1996-06-01 00:00:00").cast("timestamp")
+    after_cursor = (F.col("o_orderdate") > cursor_ts) | (
+        (F.col("o_orderdate") == cursor_ts) & (F.col("o_orderkey") > 0)
+    )
+    return (
+        o.filter(after_cursor)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "dq_key_skew",
+    oracle="""
+    WITH k AS (
+      SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ), ranked AS (
+      SELECT cnt,
+             CAST(row_number() OVER (ORDER BY cnt ASC, key ASC) AS BIGINT)
+               AS rnk
+      FROM k
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cnt) AS BIGINT) AS tot,
+             CAST(sum(rnk * cnt) AS BIGINT) AS wsum,
+             CAST(max(cnt) AS BIGINT) AS max_cnt
+      FROM ranked
+    )
+    SELECT n AS n_keys, tot AS n_rows, max_cnt,
+           round(max_cnt * 1.0 * n / tot, 6) AS hot_key_ratio,
+           round(2.0 * wsum / (n * tot) - (n + 1.0) / n, 6) AS gini
+    FROM s
+    """,
+    tags=("dq", "scale"),
+)
+def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for l_partkey — the pre-flight check
+    that decides between a plain shuffle join and the salted/AQE-skew
+    variants (join_salted_skew, join_aqe_skew): key count, row count,
+    hottest-key multiplicity, hot-key ratio (max/mean), and the Gini
+    coefficient of the key-frequency distribution
+    (2*sum(rank*cnt)/(n*total) - (n+1)/n over ascending counts —
+    0 = uniform keys, ->1 = one key owns everything).
+
+    Plan: one groupBy for frequencies, one vocabulary-sized ranking
+    window, one scalar aggregate — the diagnostic costs a single
+    linear pass, which is the point: measuring skew must be cheaper
+    than suffering it. All sums are exact integers; the two output
+    ratios are single deterministic divisions.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    ranked = k.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.asc("cnt"), F.asc("key")))
+        .cast("bigint")
+        .alias("rnk"),
+    )
+    s = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("tot"),
+        F.sum(F.col("rnk") * F.col("cnt")).cast("bigint").alias("wsum"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    return s.select(
+        F.col("n").alias("n_keys"),
+        F.col("tot").alias("n_rows"),
+        "max_cnt",
+        F.round(
+            F.col("max_cnt") * F.lit(1.0) * F.col("n") / F.col("tot"), 6
+        ).alias("hot_key_ratio"),
+        F.round(
+            F.lit(2.0) * F.col("wsum") / (F.col("n") * F.col("tot"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "scd2_bitemporal",
+    oracle="""
+    WITH versions AS (
+      -- tx version 1: the original row, recorded at its order date.
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(o_orderdate AS DATE) AS valid_from,
+             CAST(o_orderdate AS DATE) AS tx_from,
+             1 AS tx_version
+      FROM orders
+      UNION ALL
+      -- tx version 2: a price CORRECTION for every 10th order, recorded
+      -- 30 days later, retroactively effective from the same valid_from.
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) + 500,
+             CAST(o_orderdate AS DATE),
+             CAST(o_orderdate AS DATE) + INTERVAL 30 DAY,
+             2
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), as_of AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY o_orderkey
+               ORDER BY tx_version DESC) AS rn
+      FROM versions
+      WHERE valid_from <= DATE '1998-01-01'
+        AND tx_from <= DATE '1998-01-01'
+    )
+    SELECT o_orderkey, o_custkey, cents, tx_version
+    FROM as_of WHERE rn = 1
+    """,
+    tags=("lakehouse", "scd"),
+)
+def scd2_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of read: the state of every order as VALID on
+    1998-01-01 as KNOWN on 1998-01-01 — two independent time axes
+    (business validity vs transaction/record time), the axis split that
+    plain SCD2 (scd2_history / join_scd2_pit) collapses. The version
+    table derives deterministically from orders (a retroactive price
+    correction recorded 30 days after every 10th order), so a
+    correction recorded after the transaction-time cutoff is invisible
+    even though it is valid-time effective.
+
+    Plan: union of two projections of the same scan (no join), filter
+    both axes, then one per-key window to pick the latest visible
+    transaction version — the same latest-visible-version shape as
+    lakehouse_time_travel. One shuffle on o_orderkey; at 100 TB the
+    version table is the thing you'd bucket by key so as-of reads stay
+    shuffle-free.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    vdate = F.col("o_orderdate").cast("date")
+    v1 = o.select(
+        "o_orderkey",
+        "o_custkey",
+        cents.alias("cents"),
+        vdate.alias("valid_from"),
+        vdate.alias("tx_from"),
+        F.lit(1).alias("tx_version"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (cents + 500).alias("cents"),
+        vdate.alias("valid_from"),
+        F.date_add(vdate, 30).alias("tx_from"),
+        F.lit(2).alias("tx_version"),
+    )
+    cutoff = F.lit("1998-01-01").cast("date")
+    versions = v1.unionByName(v2).filter(
+        (F.col("valid_from") <= cutoff) & (F.col("tx_from") <= cutoff)
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("tx_version"))
+    return (
+        versions.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "o_custkey", "cents", "tx_version")
+    )
