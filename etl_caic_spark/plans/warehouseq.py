@@ -211,3 +211,148 @@ def scd2_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_orderkey", "o_custkey", "cents", "tx_version")
     )
+
+
+@register(
+    "geo_trajectory_stats",
+    oracle="""
+    WITH pts AS (
+      SELECT label, vec_id,
+             CAST(embedding[1] AS DOUBLE) * 90.0 AS lat,
+             CAST(embedding[2] AS DOUBLE) * 180.0 AS lon
+      FROM embeddings
+    ), seg AS (
+      SELECT label, vec_id, lat, lon,
+             lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+      FROM pts WINDOW w AS (PARTITION BY label ORDER BY vec_id)
+    ), d AS (
+      SELECT label,
+             CAST(round(
+               12742.0 * asin(sqrt(
+                 pow(sin(radians(lat - plat) / 2), 2)
+                 + cos(radians(plat)) * cos(radians(lat))
+                   * pow(sin(radians(lon - plon) / 2), 2)
+               )) * 1000000) AS BIGINT) AS seg_micro_km,
+             lat, lon
+      FROM seg WHERE plat IS NOT NULL
+    )
+    SELECT CAST(label AS INT) AS label,
+           CAST(count(*) + 1 AS BIGINT) AS n_points,
+           CAST(sum(seg_micro_km) AS BIGINT) AS path_micro_km,
+           round(min(lat), 6) AS min_lat, round(max(lat), 6) AS max_lat,
+           round(min(lon), 6) AS min_lon, round(max(lon), 6) AS max_lon
+    FROM d GROUP BY 1
+    """,
+    tags=("geo", "timeseries"),
+)
+def geo_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-trajectory movement statistics (one trajectory per embedding
+    label, ordered by vec_id): point count, total great-circle path
+    length, and bounding box. Each haversine segment is a deterministic
+    per-row trig expression quantized to BIGINT micro-km BEFORE the sum
+    — the freeze-then-sum discipline that keeps an accumulated float
+    metric hash-exact (registry.py conventions).
+
+    Plan: one window shuffle on the trajectory key for lag(), then one
+    groupBy on the same key — AQE reuses the partitioning, so a
+    trajectory is co-located once and never moves again. The classic
+    GPS-track pipeline shape: at 100 TB trajectories partition by
+    (device, day) and this exact plan runs per partition.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "label",
+        "vec_id",
+        (F.element_at("embedding", 1).cast("double") * 90.0).alias("lat"),
+        (F.element_at("embedding", 2).cast("double") * 180.0).alias("lon"),
+    )
+    w = Window.partitionBy("label").orderBy("vec_id")
+    seg = pts.select(
+        "label",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    )
+    hav = (
+        F.lit(12742.0)
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("lat") - F.col("plat")) / 2), 2)
+                + F.cos(F.radians("plat"))
+                * F.cos(F.radians("lat"))
+                * F.pow(F.sin(F.radians(F.col("lon") - F.col("plon")) / 2), 2)
+            )
+        )
+    )
+    d = seg.filter(F.col("plat").isNotNull()).select(
+        "label",
+        "lat",
+        "lon",
+        F.round(hav * F.lit(1000000)).cast("bigint").alias("seg_micro_km"),
+    )
+    return d.groupBy(F.col("label").cast("int").alias("label")).agg(
+        (F.count("*") + 1).cast("bigint").alias("n_points"),
+        F.sum("seg_micro_km").cast("bigint").alias("path_micro_km"),
+        F.round(F.min("lat"), 6).alias("min_lat"),
+        F.round(F.max("lat"), 6).alias("max_lat"),
+        F.round(F.min("lon"), 6).alias("min_lon"),
+        F.round(F.max("lon"), 6).alias("max_lon"),
+    )
+
+
+@register(
+    "token_bucket_padding",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT ((n_tokens + 127) // 128) * 128 AS bucket_cap, n_tokens
+      FROM d
+    )
+    SELECT bucket_cap,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+           CAST(sum(bucket_cap - n_tokens) AS BIGINT) AS padding_tokens,
+           round(sum(bucket_cap - n_tokens) * 1.0
+                 / (count(*) * bucket_cap), 6) AS waste_ratio
+    FROM b GROUP BY bucket_cap
+    """,
+    tags=("text", "llm"),
+)
+def token_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch efficiency audit: bucket documents by padded
+    length (multiples of 128 tokens — the fixed-shape batching most
+    accelerators want), and measure the padding waste each bucket pays
+    (padding / (docs * cap)). The complement of text_pack_sequences:
+    packing eliminates padding by concatenation, bucketing tolerates it
+    for sample integrity — this query prices that trade so the pipeline
+    can pick per corpus.
+
+    Plan: one narrow projection + one small groupBy (bucket count is
+    max_len/128) — a metadata-scale pass at any corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    b = d.select(
+        (((F.col("n_tokens") + 127) / 128).cast("bigint") * 128).alias(
+            "bucket_cap"
+        ),
+        "n_tokens",
+    )
+    return b.groupBy("bucket_cap").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("real_tokens"),
+        F.sum(F.col("bucket_cap") - F.col("n_tokens"))
+        .cast("bigint")
+        .alias("padding_tokens"),
+        F.round(
+            F.sum(F.col("bucket_cap") - F.col("n_tokens"))
+            * F.lit(1.0)
+            / (F.count("*") * F.col("bucket_cap")),
+            6,
+        ).alias("waste_ratio"),
+    )
