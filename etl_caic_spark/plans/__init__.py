@@ -105,7 +105,11 @@ from etl_caic_spark.plans import warehouseq  # noqa: F401,E402
 # subquery_not_in_nulls, geo_grid_join, ts_retention_cohorts,
 # sink_partition_overwrite, stat_linreg_group,
 # scan_dynamic_partition_pruning, lakehouse_delete_vectors,
-# sample_weighted_topk, text_bigram_logprob, graph_sssp_weighted.
+# sample_weighted_topk, text_bigram_logprob, graph_sssp_weighted,
+# rollup_timeseries, geo_point_in_polygon, join_bucketed,
+# stream_outer_join, text_span_dedup (displaced by the wave-4
+# additions scan_keyset_pagination / dq_key_skew / scd2_bitemporal /
+# geo_trajectory_stats / token_bucket_padding).
 _DRIVER_WINDOW = [
     # new this session — first driver verification
     "text_bm25_topk",
@@ -151,15 +155,15 @@ _DRIVER_WINDOW = [
     "lakehouse_stats_skipping",
     "sink_python_datasource",
     "scan_parquet_corrupt_tolerance",
-    "geo_point_in_polygon",
-    "rollup_timeseries",
+    "dq_key_skew",
+    "scan_keyset_pagination",
     "subquery_lateral_topn",
-    "join_bucketed",
-    "stream_outer_join",
+    "scd2_bitemporal",
+    "geo_trajectory_stats",
     "eval_auc_exact",
     "feat_bin_quantile",
     "sketch_kmv_distinct",
-    "text_span_dedup",
+    "token_bucket_padding",
     # dq family is represented by the new dq_freshness above;
     # dq_constraint_suite rotates next round in its place
     "mv_join_incremental",
