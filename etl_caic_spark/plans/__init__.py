@@ -111,7 +111,12 @@ from etl_caic_spark.plans import featurestoreq  # noqa: F401,E402
 # rollup_timeseries, geo_point_in_polygon, join_bucketed,
 # stream_outer_join, text_span_dedup (displaced by the wave-4
 # additions scan_keyset_pagination / dq_key_skew / scd2_bitemporal /
-# geo_trajectory_stats / token_bucket_padding).
+# geo_trajectory_stats / token_bucket_padding);
+# scan_parquet_corrupt_tolerance, cdc_apply_changes,
+# lakehouse_stats_skipping (displaced by the wave-5 additions
+# stat_ks_two_sample / stat_psi_drift / feature_store_customer —
+# their families stay represented by scan_keyset_pagination,
+# stream_cdc_merge + snapshot_diff, and scd2_bitemporal).
 _DRIVER_WINDOW = [
     # new this session — first driver verification
     "text_bm25_topk",
@@ -152,11 +157,11 @@ _DRIVER_WINDOW = [
     # one representative per never-sampled family
     "agg_bitmap_distinct",
     "tpch_q21_shape",
-    "cdc_apply_changes",
+    "stat_psi_drift",
     "stream_cdc_merge",
-    "lakehouse_stats_skipping",
+    "feature_store_customer",
     "sink_python_datasource",
-    "scan_parquet_corrupt_tolerance",
+    "stat_ks_two_sample",
     "dq_key_skew",
     "scan_keyset_pagination",
     "subquery_lateral_topn",
