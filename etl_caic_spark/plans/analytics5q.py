@@ -478,3 +478,70 @@ def mv_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") > 0)
     )
+
+
+@register(
+    "attrib_linear_multi_touch",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT event_id AS touch_id, user_id, ts AS t_ts, event_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ), pt AS (
+      SELECT purchase_id, p.user_id AS user_id, p_ts, touch_id, event_type,
+             CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+               AS n_touches
+      FROM purchases p JOIN touches t
+        ON p.user_id = t.user_id
+       AND t_ts < p_ts AND t_ts >= p_ts - INTERVAL 7 DAY
+    )
+    SELECT purchase_id, user_id, touch_id,
+           event_type AS touch_type, n_touches,
+           round(1.0 / n_touches, 6) AS credit
+    FROM pt
+    """,
+    tags=("analytics", "clickstream"),
+)
+def attrib_linear_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click/view in the 7-day
+    lookback before a purchase shares the credit equally (1/n per
+    touch) — the fairness counterpart to attrib_last_touch above, and
+    the shape that needs a RANGE JOIN rather than a window carry
+    (last-touch needs only the latest predecessor; linear needs ALL of
+    them as rows).
+
+    Plan: user-equi join with the time-range predicate — Spark plans
+    the equi part as the shuffle key and evaluates the range as a
+    post-join filter, so cost is per-user purchases x touches within
+    the window, the same profile as join_range; at 100 TB both sides
+    bucket by user and sort by time, making this a per-bucket zipper.
+    The per-purchase touch count rides one window over the join output.
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        "event_type",
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    w = Window.partitionBy("purchase_id")
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "touch_id",
+        F.col("event_type").alias("touch_type"),
+        F.count("*").over(w).cast("bigint").alias("n_touches"),
+    ).withColumn("credit", F.round(F.lit(1.0) / F.col("n_touches"), 6))
