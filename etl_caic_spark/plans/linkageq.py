@@ -174,3 +174,76 @@ def link_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("group_id").cast("bigint").alias("entity_id"),
         F.col("is_representative").alias("is_canonical"),
     )
+
+
+@register(
+    "link_snm_distributed",
+    oracle="""
+    WITH r AS (
+      SELECT p_partkey, p_name,
+             split_part(p_name, ' ', 2) || '|' || p_name AS sort_key
+      FROM part
+    ), nb AS (
+      SELECT p_partkey AS a_key, p_name AS a_name,
+             lead(p_partkey, 1) OVER w AS b_key1, lead(p_name, 1) OVER w AS b_name1,
+             lead(p_partkey, 2) OVER w AS b_key2, lead(p_name, 2) OVER w AS b_name2,
+             lead(p_partkey, 3) OVER w AS b_key3, lead(p_name, 3) OVER w AS b_name3
+      FROM r WINDOW w AS (ORDER BY sort_key, p_partkey)
+    ), pairs AS (
+      SELECT a_key, a_name, b_key1 AS b_key, b_name1 AS b_name FROM nb
+      UNION ALL
+      SELECT a_key, a_name, b_key2, b_name2 FROM nb
+      UNION ALL
+      SELECT a_key, a_name, b_key3, b_name3 FROM nb
+    )
+    SELECT a_key, b_key, a_name, b_name,
+           CAST(levenshtein(a_name, b_name) AS INT) AS dist
+    FROM pairs
+    WHERE b_key IS NOT NULL AND a_name <> b_name
+      AND levenshtein(a_name, b_name) <= 3
+    """,
+    tags=("linkage", "dedup", "scale"),
+)
+def link_snm_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED sorted-neighborhood linkage (operators/snm.py):
+    range-partition by the sort key, duplicate each partition's first W
+    rows into the preceding partition, run the lead window per
+    partition group. The oracle is the SAME single-global-window SQL as
+    link_sorted_neighborhood — the hash match proves the boundary-
+    duplication construction loses no pair and invents none, regardless
+    of where the sampled range boundaries fall.
+
+    This is the formulation that survives 100 TB: the only global
+    operation is the range shuffle (parallel by construction); the
+    windows never see more than one partition's rows plus W lookahead
+    rows. link_sorted_neighborhood (above) keeps the single-window
+    form as the readable semantic anchor.
+    """
+    from etl_caic_spark.operators.snm import sorted_neighborhood_pairs
+
+    r = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.concat(
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)),
+            F.lit("|"),
+            F.col("p_name"),
+        ).alias("sort_key"),
+    )
+    pairs = sorted_neighborhood_pairs(
+        r, ["p_partkey", "p_name"], "sort_key", w=3, num_partitions=8
+    )
+    return (
+        pairs.filter(F.col("a_p_name") != F.col("b_p_name"))
+        .withColumn(
+            "dist", F.levenshtein("a_p_name", "b_p_name").cast("int")
+        )
+        .filter(F.col("dist") <= 3)
+        .select(
+            F.col("a_p_partkey").alias("a_key"),
+            F.col("b_p_partkey").alias("b_key"),
+            F.col("a_p_name").alias("a_name"),
+            F.col("b_p_name").alias("b_name"),
+            "dist",
+        )
+    )

@@ -379,3 +379,21 @@ def test_feature_store_one_row_per_customer_with_null_semantics(spark, sf_dir):
         else:
             assert 0 <= r["return_rate"] <= 1
         assert r["n_returned"] <= r["n_items"]
+
+
+def test_snm_distributed_equals_global_window_and_partitions(spark, sf_dir):
+    """The distributed SNM must emit exactly the global-window pair set,
+    and its windows must be partitioned (no single-partition sort)."""
+    a = {(r["a_key"], r["b_key"]) for r in
+         SPECS["link_sorted_neighborhood"].fn(spark, sf_dir).collect()}
+    b = {(r["a_key"], r["b_key"]) for r in
+         SPECS["link_snm_distributed"].fn(spark, sf_dir).collect()}
+    assert a == b
+    plan = _optimized_plan(SPECS["link_snm_distributed"].fn(spark, sf_dir))
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_gid" in m.group(1), (
+            "every window in the distributed SNM must partition by _gid:\n"
+            + m.group(0)
+        )
