@@ -60,10 +60,15 @@ def basket_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # Four consumers read the basket-item set (totals, per-item support,
+    # both pair-join sides); localCheckpoint materializes the
+    # join+distinct once instead of four times (measured 2x at sf0.1 —
+    # the same shared-subplan pattern as graphq's edge list).
     items = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item"))
         .distinct()
+        .localCheckpoint()
     )
     n = items.agg(F.count_distinct("okey").cast("bigint").alias("n_baskets"))
     supp1 = items.groupBy("item").agg(F.count("*").cast("bigint").alias("supp"))
