@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
@@ -144,4 +145,81 @@ def feature_store_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             has_items,
             F.round(F.col("disc_pct_sum") * F.lit(1.0) / F.col("n_items"), 6),
         ).alias("avg_disc_pct"),
+    )
+
+
+@register(
+    "feat_quantile_normalize",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, event_type AS source, value
+      FROM events WHERE event_id % 4 = 0
+    ), ranked AS (
+      SELECT *,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY value, event_id) AS BIGINT)
+               AS r,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+      FROM s
+    ), pooled AS (
+      SELECT value AS pooled_value,
+             CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT)
+               AS idx
+      FROM s
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pool FROM s)
+    SELECT event_id, source, value, pooled_value AS norm_value
+    FROM ranked CROSS JOIN tot
+    JOIN pooled ON pooled.idx = (r * n_pool + n_s - 1) // n_s
+    WHERE event_id % 13 = 0
+    """,
+    tags=("ml", "feat"),
+)
+def feat_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources (batch-effect correction):
+    each value is replaced by the POOLED value at its within-source
+    quantile — after normalization every source has an identical value
+    distribution. The quantile mapping is exact integer rank
+    arithmetic: target pooled index = ceil(r * n_pool / n_s) computed
+    as (r*n_pool + n_s - 1) DIV n_s, so no float quantile ever exists
+    and the cross-engine hash is exact.
+
+    Plan: per-source rank windows (partitioned, parallel) plus ONE
+    global ranking of the pooled sample — the exact-semantics anchor.
+    At 100 TB the pooled ranking is replaced by approx-quantile
+    boundaries (feat_bin_quantile's machinery) and the join maps ranks
+    onto the boundary grid; this query pins the semantics that
+    approximation must converge to.
+    """
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 4 == 0)
+        .select("event_id", F.col("event_type").alias("source"), "value")
+    )
+    wsrc = Window.partitionBy("source").orderBy("value", "event_id")
+    ranked = s.select(
+        "*",
+        F.row_number().over(wsrc).cast("bigint").alias("r"),
+        F.count("*")
+        .over(Window.partitionBy("source"))
+        .cast("bigint")
+        .alias("n_s"),
+    )
+    pooled = s.select(
+        F.col("value").alias("pooled_value"),
+        F.row_number()
+        .over(Window.orderBy("value", "event_id"))
+        .cast("bigint")
+        .alias("idx"),
+    )
+    tot = s.agg(F.count("*").cast("bigint").alias("n_pool"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        # Integer ceil-division via `div` (never a double): matches
+        # DuckDB's `//` exactly at any magnitude.
+        .withColumn(
+            "idx", F.expr("(r * n_pool + n_s - 1) div n_s").cast("bigint")
+        )
+        .join(pooled, "idx")
+        .filter(F.col("event_id") % 13 == 0)
+        .select("event_id", "source", "value", F.col("pooled_value").alias("norm_value"))
     )
