@@ -356,3 +356,98 @@ def token_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("waste_ratio"),
     )
+
+
+@register(
+    "geo_dbscan_core",
+    oracle="""
+    WITH pts AS (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM pts a JOIN pts b
+        ON a.vec_id < b.vec_id
+       AND abs(a.x - b.x) <= 0.05 AND abs(a.y - b.y) <= 0.05
+    ), deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS n_neighbors
+      FROM (SELECT id_a AS v FROM pairs UNION ALL SELECT id_b FROM pairs)
+      GROUP BY 1
+    ), core AS (
+      SELECT v FROM deg WHERE n_neighbors >= 3
+    ), core_edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      WHERE id_a IN (SELECT v FROM core) AND id_b IN (SELECT v FROM core)
+      UNION
+      SELECT id_b, id_a FROM pairs
+      WHERE id_a IN (SELECT v FROM core) AND id_b IN (SELECT v FROM core)
+    ), rec AS (
+      WITH RECURSIVE reach(s, d) AS (
+        SELECT s, d FROM core_edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN core_edges e ON r.d = e.s
+      ) SELECT * FROM reach
+    )
+    SELECT c.v AS vec_id, deg.n_neighbors,
+           CAST(coalesce(least(min(r.d), c.v), c.v) AS BIGINT) AS cluster_id
+    FROM core c
+    JOIN deg ON c.v = deg.v
+    LEFT JOIN rec r ON r.s = c.v
+    GROUP BY c.v, deg.n_neighbors
+    """,
+    tags=("geo", "ml", "iterative"),
+)
+def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN core-point clustering (eps=0.05 Chebyshev, minPts=3
+    neighbors): density-qualified points clustered by transitive
+    eps-reachability among CORE points — the density-based clustering
+    the k-means family can't express (arbitrary-shape clusters, no k).
+    Border-point assignment is the standard second pass (a core-join);
+    restricting to cores keeps the semantics deterministic (border
+    points reachable from two clusters are tie-broken arbitrarily in
+    textbook DBSCAN — the part that does NOT hash-match — so it is
+    deliberately out of scope here).
+
+    Plan: neighbor pairs from the grid-cell equi-join
+    (operators/geo.grid_neighbor_pairs — no all-pairs), degree count,
+    then connected components (operators/components.py — pointer-
+    jumping min-label at scale, recursive-CTE twin in the oracle).
+    Linear in points x density; the eps grid bounds every join input.
+    """
+    from etl_caic_spark.operators.components import connected_components
+    from etl_caic_spark.operators.geo import grid_neighbor_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    pairs = grid_neighbor_pairs(pts, "vec_id", "x", "y", eps=0.05).select(
+        "id_a", "id_b"
+    ).localCheckpoint()
+    deg = (
+        pairs.select(F.col("id_a").alias("v"))
+        .unionAll(pairs.select(F.col("id_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("n_neighbors"))
+    )
+    core = deg.filter(F.col("n_neighbors") >= 3).select("v")
+    core_a = core.select(F.col("v").alias("id_a"))
+    core_b = core.select(F.col("v").alias("id_b"))
+    core_edges = (
+        pairs.join(core_a, "id_a").join(core_b, "id_b")
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    )
+    comp = connected_components(core_edges)
+    return (
+        core.join(deg, "v")
+        .join(comp, core.v == comp.member, "left")
+        .select(
+            F.col("v").alias("vec_id"),
+            "n_neighbors",
+            F.coalesce("component", F.col("v")).cast("bigint").alias("cluster_id"),
+        )
+    )
