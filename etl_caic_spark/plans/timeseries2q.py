@@ -178,3 +178,78 @@ def ts_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         (j1 - j0).cast("bigint").alias("calendar_days"),
         (g1 - g0).cast("bigint").alias("business_days"),
     )
+
+
+@register(
+    "ts_anomaly_deseasonal",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, value, CAST(extract(hour FROM ts) AS INT) AS hod
+      FROM events
+    ), seas AS (
+      SELECT hod, round(avg(value), 6) AS seasonal FROM e GROUP BY 1
+    ), resid AS (
+      SELECT event_id, e.hod AS hod, value,
+             round(value - seasonal, 6) AS residual
+      FROM e JOIN seas ON e.hod = seas.hod
+    ), med AS (
+      SELECT round(median(residual), 6) AS med FROM resid
+    ), mad AS (
+      SELECT round(median(abs(residual - med)), 6) AS mad, med
+      FROM resid CROSS JOIN med GROUP BY med
+    )
+    SELECT event_id, hod, value, residual,
+           round(abs(residual - med) / (mad * 1.4826), 6) AS robust_z
+    FROM resid CROSS JOIN mad
+    WHERE abs(residual - med) / (mad * 1.4826) > 3.5
+    """,
+    tags=("timeseries", "dq"),
+)
+def ts_anomaly_deseasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection on the DESEASONALIZED series: remove the
+    hour-of-day profile (ts_seasonal_decompose above), then flag
+    robust-z outliers on the residuals (MAD-scaled, threshold 3.5 —
+    the Iglewicz-Hoaglin cut). Running MAD on raw values instead
+    (anomaly_mad, plans/analytics4q.py) flags every seasonal peak;
+    deseasonalizing first is what makes the monitor usable on cyclic
+    metrics.
+
+    Exact-ness: the seasonal means, the residual median, and the MAD
+    are each rounded to 6 BEFORE dependent arithmetic (freeze-then-
+    compare); medians are exact percentile_cont duals on both engines
+    over the same rounded residuals. Plan: a 24-group profile
+    broadcast, then two scalar robust aggregates, then a codegen
+    filter — three passes, all linear, no window.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "value", F.hour("ts").cast("int").alias("hod")
+    )
+    seas = e.groupBy("hod").agg(F.round(F.avg("value"), 6).alias("seasonal"))
+    resid = e.join(F.broadcast(seas), "hod").select(
+        "event_id",
+        "hod",
+        "value",
+        F.round(F.col("value") - F.col("seasonal"), 6).alias("residual"),
+    )
+    med = resid.agg(
+        F.round(F.expr("percentile(residual, 0.5)"), 6).alias("med")
+    )
+    mad = (
+        resid.crossJoin(F.broadcast(med))
+        .agg(
+            F.round(F.expr("percentile(abs(residual - med), 0.5)"), 6).alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    rz = F.abs(F.col("residual") - F.col("med")) / (F.col("mad") * F.lit(1.4826))
+    return (
+        resid.crossJoin(F.broadcast(mad))
+        .filter(rz > 3.5)
+        .select(
+            "event_id",
+            "hod",
+            "value",
+            "residual",
+            F.round(rz, 6).alias("robust_z"),
+        )
+    )
