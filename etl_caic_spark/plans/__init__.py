@@ -118,6 +118,11 @@ from etl_caic_spark.plans import llm8  # noqa: F401,E402
 # stat_ks_two_sample / stat_psi_drift / feature_store_customer —
 # their families stay represented by scan_keyset_pagination,
 # stream_cdc_merge + snapshot_diff, and scd2_bitemporal).
+# Waves 6-7 additions (attrib_linear_multi_touch, sim_range_search,
+# link_snm_distributed, feat_quantile_normalize, geo_dbscan_core,
+# ts_anomaly_deseasonal) stay OUTSIDE the window this round — every
+# one of their families already has an in-window representative —
+# and lead the round-6 rotation.
 _DRIVER_WINDOW = [
     # new this session — first driver verification
     "text_bm25_topk",
