@@ -397,3 +397,59 @@ def test_snm_distributed_equals_global_window_and_partitions(spark, sf_dir):
             "every window in the distributed SNM must partition by _gid:\n"
             + m.group(0)
         )
+
+
+def test_reciprocity_bounded_by_degree(spark, sf_dir):
+    for r in SPECS["graph_reciprocity"].fn(spark, sf_dir).collect():
+        assert 0 <= r["n_reciprocal"] <= r["out_degree"]
+        assert abs(r["reciprocity"] - r["n_reciprocal"] / r["out_degree"]) < 1e-6
+
+
+def test_range_search_threshold_and_symmetry(spark, sf_dir):
+    rows = SPECS["sim_range_search"].fn(spark, sf_dir).collect()
+    pairs = {(r["query_id"], r["match_id"]): r["cos_micro"] for r in rows}
+    for (q, m), c in pairs.items():
+        assert 300000 <= c <= 1000001
+        if m % 100 == 0:  # the match is itself a query: mirror must exist
+            assert (m, q) in pairs
+            assert abs(pairs[(m, q)] - c) <= 1  # rounding of a symmetric value
+
+
+def test_linear_attribution_credits_sum_to_one(spark, sf_dir):
+    import collections
+
+    rows = SPECS["attrib_linear_multi_touch"].fn(spark, sf_dir).collect()
+    per_purchase = collections.defaultdict(float)
+    for r in rows:
+        per_purchase[r["purchase_id"]] += r["credit"]
+    for pid, total in per_purchase.items():
+        assert abs(total - 1.0) < 1e-3, (pid, total)
+
+
+def test_quantile_normalize_is_monotone_within_source(spark, sf_dir):
+    import collections
+
+    rows = SPECS["feat_quantile_normalize"].fn(spark, sf_dir).collect()
+    by_source = collections.defaultdict(list)
+    for r in rows:
+        by_source[r["source"]].append((r["value"], r["norm_value"]))
+    for source, vals in by_source.items():
+        vals.sort()
+        norms = [n for _, n in vals]
+        assert norms == sorted(norms), f"{source}: mapping must be monotone"
+
+
+def test_dbscan_core_degree_gate_and_canonical_ids(spark, sf_dir):
+    rows = SPECS["geo_dbscan_core"].fn(spark, sf_dir).collect()
+    assert rows, "fixture density must yield core points"
+    ids = {r["vec_id"] for r in rows}
+    for r in rows:
+        assert r["n_neighbors"] >= 3
+        assert r["cluster_id"] <= r["vec_id"]
+        assert r["cluster_id"] in ids, "canonical id must itself be a core point"
+
+
+def test_deseasonal_anomalies_all_exceed_cut(spark, sf_dir):
+    rows = SPECS["ts_anomaly_deseasonal"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r["robust_z"] > 3.5
