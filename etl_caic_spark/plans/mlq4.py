@@ -318,3 +318,71 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v"),
         )
     return v.select(F.col("i").cast("int").alias("coord"), F.col("v").alias("v_micro"))
+
+
+@register(
+    "ml_future_purchase_label",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, ts, epoch(ts) AS sec
+      FROM events
+    ), labeled AS (
+      SELECT event_id, user_id, event_type,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+             coalesce(max(CASE WHEN event_type = 'purchase' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN 1 FOLLOWING AND 86400 FOLLOWING),
+               0) AS will_purchase_24h
+      FROM e
+    )
+    SELECT event_id, user_id, event_type, ts,
+           CAST(will_purchase_24h AS INT) AS will_purchase_24h
+    FROM labeled WHERE event_id % 23 = 0
+    """,
+    tags=("ml", "timeseries"),
+)
+def ml_future_purchase_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-label generation with a FUTURE window: for every event,
+    will this user purchase within the next 24 hours (exclusive of the
+    current second)? The canonical churn/conversion labeling pass that
+    turns an event log into supervised examples — and the classic
+    LEAKAGE trap: the label window must start strictly AFTER the
+    observation (RANGE 1 FOLLOWING), or the purchase event labels
+    itself positive.
+
+    The window ranges over epoch seconds (numeric RANGE frames are the
+    portable form — Spark needs numeric bounds and DuckDB agrees on
+    integer seconds). One shuffle on user_id; per-user streams sorted
+    once, labels computed in a single forward pass at any scale.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(1, 86400)
+    )
+    return (
+        e.withColumn(
+            "will_purchase_24h",
+            F.coalesce(
+                F.max(
+                    F.when(F.col("event_type") == "purchase", 1)
+                ).over(w),
+                F.lit(0),
+            ).cast("int"),
+        )
+        .filter(F.col("event_id") % 23 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "will_purchase_24h",
+        )
+    )
