@@ -192,3 +192,107 @@ def stat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("psi_term_micro"),
     )
+
+
+@register(
+    "stat_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), counts AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS observed FROM d GROUP BY 1
+    ), tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM counts)
+    SELECT digit, observed,
+           round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_p,
+           round(observed * 1.0 / n, 6) AS observed_p,
+           round(pow(observed * 1.0 / n - ln(1.0 + 1.0 / digit) / ln(10.0), 2)
+                 / (ln(1.0 + 1.0 / digit) / ln(10.0)) * n, 6) AS chi2_term
+    FROM counts CROSS JOIN tot
+    """,
+    tags=("stat", "dq"),
+)
+def stat_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order values — the classic
+    fabricated-data / unit-mix detector: observed leading-digit shares
+    vs log10(1 + 1/d), with per-digit chi-square contributions
+    (sum > 15.5 rejects Benford at 5% for 8 dof).
+
+    The leading digit comes from the INTEGER cents rendered as a string
+    (integer printing is engine-identical; printing the raw double is
+    NOT — Spark and DuckDB format doubles differently, the trap this
+    construction avoids). Plan: one narrow projection and a 9-group
+    aggregate — a metadata-cost audit at any scale.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count("*").cast("bigint").alias("observed"))
+    tot = counts.agg(F.sum("observed").cast("bigint").alias("n"))
+    benford_p = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    observed_p = F.col("observed") * F.lit(1.0) / F.col("n")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "observed",
+        F.round(benford_p, 6).alias("benford_p"),
+        F.round(observed_p, 6).alias("observed_p"),
+        F.round(
+            F.pow(observed_p - benford_p, F.lit(2)) / benford_p * F.col("n"), 6
+        ).alias("chi2_term"),
+    )
+
+
+@register(
+    "dq_sequence_gaps",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev_key
+      FROM orders
+    )
+    SELECT prev_key AS gap_after, o_orderkey AS next_key,
+           CAST(o_orderkey - prev_key - 1 AS BIGINT) AS missing
+    FROM o
+    WHERE prev_key IS NOT NULL AND o_orderkey - prev_key > 1
+    """,
+    tags=("dq",),
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-integrity audit of a supposedly-dense surrogate key:
+    every gap in o_orderkey with its missing-count — the ingestion
+    health check that catches dropped batches and partial loads
+    (the TPC-H generator itself leaves systematic gaps, so the fixture
+    exercises real output).
+
+    At test scale this is a global lag window (single sort); the scale
+    formulation is the SNM trick (operators/snm.py): range-partition,
+    lag within partitions, one boundary row per partition — same
+    boundary-duplication algebra as link_snm_distributed, which is why
+    it is not duplicated here.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        o.select(
+            "o_orderkey", F.lag("o_orderkey").over(w).alias("prev_key")
+        )
+        .filter(
+            F.col("prev_key").isNotNull()
+            & (F.col("o_orderkey") - F.col("prev_key") > 1)
+        )
+        .select(
+            F.col("prev_key").alias("gap_after"),
+            F.col("o_orderkey").alias("next_key"),
+            (F.col("o_orderkey") - F.col("prev_key") - 1)
+            .cast("bigint")
+            .alias("missing"),
+        )
+    )
