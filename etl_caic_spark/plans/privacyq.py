@@ -135,19 +135,23 @@ def priv_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("privacy",),
 )
 def priv_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differentially-private release of (nation, segment) counts via
-    the Laplace mechanism at epsilon=1 (scale b = sensitivity/eps = 1):
-    noise = -b * sign(u - 0.5) * ln(1 - 2|u - 0.5|), the standard
-    inverse-CDF draw.
+    """Laplace-SHAPED reproducible pseudo-noise over (nation, segment)
+    counts — the noise pipeline of the Laplace mechanism at b=1
+    (noise = -b * sign(u - 0.5) * ln(1 - 2|u - 0.5|), the standard
+    inverse-CDF draw), with the uniform hash-seeded from the group key.
 
-    The uniform draw is hash-seeded from the GROUP KEY (md5 of a
-    versioned seed + key, first 32 bits, +0.5 to keep u strictly inside
-    (0,1) and never exactly 0.5) — deterministic, so releases are
-    reproducible and the DuckDB twin matches bit-for-bit. NOTE: keyed
-    determinism means repeated releases don't accumulate privacy budget
-    across runs but also can't average the noise away; rotating the
-    seed version is the budget spend. Plan: one groupBy, then pure
-    scalar codegen — DP adds zero distributed cost at any scale.
+    THIS IS NOT DIFFERENTIAL PRIVACY. The seed string lives in this
+    repo and the hash input is the released group key, so any reader
+    can recompute the exact noise and subtract it — the release carries
+    zero DP protection. The determinism is deliberate here: it is what
+    lets the DuckDB twin match bit-for-bit, making the noise PIPELINE
+    (inverse-CDF transform, integer rounding, post-noise casts)
+    hash-verifiable. A production DP deployment would (a) draw the seed
+    from a secret salt held OUT of the release (per-release, never
+    reused), and (b) account epsilon across releases; the oracle twin
+    would then need the same secret to verify. Plan: one groupBy, then
+    pure scalar codegen — the noise adds zero distributed cost at any
+    scale.
     """
     c = load_table(spark, sf_dir, "customer")
     g = c.groupBy("c_nationkey", "c_mktsegment").agg(

@@ -232,16 +232,23 @@ def scd2_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
                  pow(sin(radians(lat - plat) / 2), 2)
                  + cos(radians(plat)) * cos(radians(lat))
                    * pow(sin(radians(lon - plon) / 2), 2)
-               )) * 1000000) AS BIGINT) AS seg_micro_km,
-             lat, lon
+               )) * 1000000) AS BIGINT) AS seg_micro_km
       FROM seg WHERE plat IS NOT NULL
+    ), bbox AS (
+      SELECT CAST(label AS INT) AS label,
+             CAST(count(*) AS BIGINT) AS n_points,
+             round(min(lat), 6) AS min_lat, round(max(lat), 6) AS max_lat,
+             round(min(lon), 6) AS min_lon, round(max(lon), 6) AS max_lon
+      FROM pts GROUP BY 1
+    ), path AS (
+      SELECT CAST(label AS INT) AS label,
+             CAST(sum(seg_micro_km) AS BIGINT) AS path_micro_km
+      FROM d GROUP BY 1
     )
-    SELECT CAST(label AS INT) AS label,
-           CAST(count(*) + 1 AS BIGINT) AS n_points,
-           CAST(sum(seg_micro_km) AS BIGINT) AS path_micro_km,
-           round(min(lat), 6) AS min_lat, round(max(lat), 6) AS max_lat,
-           round(min(lon), 6) AS min_lon, round(max(lon), 6) AS max_lon
-    FROM d GROUP BY 1
+    SELECT b.label, b.n_points,
+           COALESCE(p.path_micro_km, 0) AS path_micro_km,
+           b.min_lat, b.max_lat, b.min_lon, b.max_lon
+    FROM bbox b LEFT JOIN path p ON b.label = p.label
     """,
     tags=("geo", "timeseries"),
 )
@@ -253,11 +260,17 @@ def geo_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the freeze-then-sum discipline that keeps an accumulated float
     metric hash-exact (registry.py conventions).
 
-    Plan: one window shuffle on the trajectory key for lag(), then one
-    groupBy on the same key — AQE reuses the partitioning, so a
-    trajectory is co-located once and never moves again. The classic
-    GPS-track pipeline shape: at 100 TB trajectories partition by
-    (device, day) and this exact plan runs per partition.
+    The bounding box (and the point count) aggregates the UNFILTERED
+    point relation, so a trajectory's extreme FIRST point is included —
+    segment rows drop each trajectory's first point (plat IS NULL) and
+    a bbox computed from them could miss it. Path length joins back by
+    label (coalesced to 0 for single-point trajectories).
+
+    Plan: one window shuffle on the trajectory key for lag(), then two
+    groupBys and a join all on the same key — AQE reuses the
+    partitioning, so a trajectory is co-located once and never moves
+    again. The classic GPS-track pipeline shape: at 100 TB trajectories
+    partition by (device, day) and this exact plan runs per partition.
     """
     e = load_table(spark, sf_dir, "embeddings")
     pts = e.select(
@@ -287,17 +300,28 @@ def geo_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = seg.filter(F.col("plat").isNotNull()).select(
         "label",
-        "lat",
-        "lon",
         F.round(hav * F.lit(1000000)).cast("bigint").alias("seg_micro_km"),
     )
-    return d.groupBy(F.col("label").cast("int").alias("label")).agg(
-        (F.count("*") + 1).cast("bigint").alias("n_points"),
-        F.sum("seg_micro_km").cast("bigint").alias("path_micro_km"),
+    bbox = pts.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_points"),
         F.round(F.min("lat"), 6).alias("min_lat"),
         F.round(F.max("lat"), 6).alias("max_lat"),
         F.round(F.min("lon"), 6).alias("min_lon"),
         F.round(F.max("lon"), 6).alias("max_lon"),
+    )
+    path = d.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.sum("seg_micro_km").cast("bigint").alias("path_micro_km")
+    )
+    return bbox.join(path, "label", "left").select(
+        "label",
+        "n_points",
+        F.coalesce("path_micro_km", F.lit(0).cast("bigint")).alias(
+            "path_micro_km"
+        ),
+        "min_lat",
+        "max_lat",
+        "min_lon",
+        "max_lon",
     )
 
 

@@ -399,6 +399,41 @@ def test_snm_distributed_equals_global_window_and_partitions(spark, sf_dir):
         )
 
 
+def test_snm_underfilled_partitions_lose_no_pairs(spark, sf_dir):
+    """Regression for the one-deep boundary-duplication gap: when range
+    partitions hold FEWER than W rows (num_partitions near N/W), rows
+    needing lookahead two partitions ahead must still find their pairs.
+    The operator now greedily coalesces adjacent underfilled partitions
+    before duplicating, so the pair set stays partition-invariant."""
+    from etl_caic_spark.operators.snm import sorted_neighborhood_pairs
+
+    n, w = 40, 5
+    df = spark.range(n).select(
+        (F.col("id") * 37 % 1000).alias("k"),
+        F.format_string("r%03d", F.col("id")).alias("name"),
+        (F.col("id") * 37 % 1000).cast("string").alias("sort_key"),
+    ).withColumn("k", F.col("k").cast("int"))
+    # brute force: global sort order, all pairs within W positions
+    rows = sorted(
+        df.collect(), key=lambda r: (r["sort_key"], r["k"])
+    )
+    expect = {
+        (rows[i]["k"], rows[j]["k"])
+        for i in range(len(rows))
+        for j in range(i + 1, min(i + w + 1, len(rows)))
+    }
+    # num_partitions ~ N/W: average partition is barely W rows, sampled
+    # boundaries guarantee several sub-W partitions
+    for parts in (n // w, n // 2, n * 2):
+        got = {
+            (r["a_k"], r["b_k"])
+            for r in sorted_neighborhood_pairs(
+                df, ["k", "name"], "sort_key", w=w, num_partitions=parts
+            ).collect()
+        }
+        assert got == expect, f"pair set diverged at num_partitions={parts}"
+
+
 def test_reciprocity_bounded_by_degree(spark, sf_dir):
     for r in SPECS["graph_reciprocity"].fn(spark, sf_dir).collect():
         assert 0 <= r["n_reciprocal"] <= r["out_degree"]
