@@ -90,6 +90,7 @@ from etl_caic_spark.plans import warehouseq  # noqa: F401,E402
 from etl_caic_spark.plans import driftq  # noqa: F401,E402
 from etl_caic_spark.plans import featurestoreq  # noqa: F401,E402
 from etl_caic_spark.plans import llm8  # noqa: F401,E402
+from etl_caic_spark.plans import scalewinq  # noqa: F401,E402
 
 # Round-5 session-2 recuration: the 22 queries ADDED this session lead
 # (retrieval/Zipf, basket rules, naive Bayes + PCA power, privacy trio,

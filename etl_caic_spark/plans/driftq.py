@@ -256,7 +256,7 @@ def stat_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (
       SELECT o_orderkey,
              lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev_key
-      FROM orders
+      FROM orders WHERE o_orderstatus = 'F'
     )
     SELECT prev_key AS gap_after, o_orderkey AS next_key,
            CAST(o_orderkey - prev_key - 1 AS BIGINT) AS missing
@@ -266,19 +266,23 @@ def stat_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dq",),
 )
 def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence-integrity audit of a supposedly-dense surrogate key:
-    every gap in o_orderkey with its missing-count — the ingestion
-    health check that catches dropped batches and partial loads
-    (the TPC-H generator itself leaves systematic gaps, so the fixture
-    exercises real output).
+    """Sequence-integrity audit of a surrogate-key stream: every gap in
+    o_orderkey with its missing-count — the ingestion health check that
+    catches dropped batches and partial loads. The audit runs on the
+    'F'-status slice: the fixture's full key space is dense (a vacuous
+    0-gap audit), while a single status partition is exactly the
+    naturally-sparse subsequence the operator sees when one upstream
+    partition of a feed is audited in isolation — thousands of gap
+    rows exercise the arithmetic for real.
 
     At test scale this is a global lag window (single sort); the scale
-    formulation is the SNM trick (operators/snm.py): range-partition,
-    lag within partitions, one boundary row per partition — same
-    boundary-duplication algebra as link_snm_distributed, which is why
-    it is not duplicated here.
+    formulation is dq_sequence_gaps_dist (plans/scalewinq.py): the SNM
+    boundary-duplication trick with W=1, hash-proven against this same
+    oracle.
     """
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
     w = Window.orderBy("o_orderkey")
     return (
         o.select(

@@ -1,0 +1,67 @@
+"""The scale-safe twins (plans/scalewinq.py) must (a) return exactly the
+same rows as their global-window originals and (b) carry NO
+unpartitioned window in their optimized plans — the property that makes
+them the 100 TB formulation. Value-level correctness vs DuckDB is also
+covered by tests/test_oracle.py (they share the originals' oracles)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from etl_caic_spark.registry import all_specs
+
+SPECS = all_specs()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+PAIRS = [
+    ("feat_bin_quantile", "feat_bin_quantile_dist"),
+    ("feat_quantile_normalize", "feat_quantile_normalize_dist"),
+    ("dq_sequence_gaps", "dq_sequence_gaps_dist"),
+    ("stat_ks_two_sample", "stat_ks_binned"),
+]
+
+
+@pytest.mark.parametrize("orig,twin", PAIRS)
+def test_twin_matches_original(spark, sf_dir, orig, twin):
+    a = {tuple(r) for r in SPECS[orig].fn(spark, sf_dir).collect()}
+    b = {tuple(r) for r in SPECS[twin].fn(spark, sf_dir).collect()}
+    assert a == b, f"{twin} diverged from {orig}"
+
+
+@pytest.mark.parametrize(
+    "twin",
+    [
+        "feat_bin_quantile_dist",
+        "feat_quantile_normalize_dist",
+        "dq_sequence_gaps_dist",
+    ],
+)
+def test_twin_windows_are_partitioned(spark, sf_dir, twin):
+    plan = _optimized_plan(SPECS[twin].fn(spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, f"{twin}: expected at least one (partitioned) window"
+    for spec in specs:
+        assert "_gid" in spec or "source" in spec, (
+            f"{twin}: window not partitioned by a group column:\n{spec}"
+        )
+
+
+def test_ks_binned_has_no_window_at_all(spark, sf_dir):
+    plan = _optimized_plan(SPECS["stat_ks_binned"].fn(spark, sf_dir))
+    assert "windowspecdefinition" not in plan, (
+        "stat_ks_binned must be windowless:\n" + plan
+    )
+
+
+def test_originals_still_flag_their_caveat(spark, sf_dir):
+    """The anchors keep their global windows (that's their documented
+    role); this pins the contrast so a refactor can't silently swap
+    roles."""
+    plan = _optimized_plan(SPECS["dq_sequence_gaps"].fn(spark, sf_dir))
+    assert "windowspecdefinition" in plan

@@ -99,6 +99,14 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # Optional name filter: `driver_sim.py q1 q2 ...` checks only those
+    # queries (substring match) — the full no-arg run stays the gate.
+    if sys.argv[1:]:
+        qs = {
+            n: f
+            for n, f in qs.items()
+            if any(pat in n for pat in sys.argv[1:])
+        }
     ok = bad = rows_only = 0
     for name in sorted(qs):
         try:
