@@ -92,95 +92,83 @@ from etl_caic_spark.plans import featurestoreq  # noqa: F401,E402
 from etl_caic_spark.plans import llm8  # noqa: F401,E402
 from etl_caic_spark.plans import scalewinq  # noqa: F401,E402
 
-# Round-5 session-2 recuration: the 22 queries ADDED this session lead
-# (retrieval/Zipf, basket rules, naive Bayes + PCA power, privacy trio,
-# SNM linkage + entity resolution, seasonal/churn/business-days TS,
-# snapshot diff / attribution / calendar / RFM / freshness, graph
-# reciprocity) — every one must get its first driver row; next come the
-# r4-changed set the driver has still never re-verified (flagship,
-# sampling, LSH scale config, salted join, BMP codec, portable MinHash)
-# and the never-sampled flagships; the remaining slots keep one
-# representative per still-unsampled family. Displaced (all green in the
-# identical local oracle run, tests/test_oracle.py, rotating back next
-# round): join_aqe_skew, eval_regression_metrics, feat_target_encode_loo,
-# text_word_entropy, text_vocab_coverage, dq_volume_anomaly,
-# graph_jaccard_links, multimodal_patchify, lakehouse_partition_evolution,
-# agg_distinct_filter, geo_quadkey_rollup, agg_filter_clause,
-# subquery_not_in_nulls, geo_grid_join, ts_retention_cohorts,
-# sink_partition_overwrite, stat_linreg_group,
-# scan_dynamic_partition_pruning, lakehouse_delete_vectors,
-# sample_weighted_topk, text_bigram_logprob, graph_sssp_weighted,
-# rollup_timeseries, geo_point_in_polygon, join_bucketed,
-# stream_outer_join, text_span_dedup (displaced by the wave-4
-# additions scan_keyset_pagination / dq_key_skew / scd2_bitemporal /
-# geo_trajectory_stats / token_bucket_padding);
-# scan_parquet_corrupt_tolerance, cdc_apply_changes,
-# lakehouse_stats_skipping (displaced by the wave-5 additions
-# stat_ks_two_sample / stat_psi_drift / feature_store_customer —
-# their families stay represented by scan_keyset_pagination,
-# stream_cdc_merge + snapshot_diff, and scd2_bitemporal).
-# Waves 6-7 additions (attrib_linear_multi_touch, sim_range_search,
+# Round-6 rotation: burn down the never-driver-verified debt,
+# heaviest-first per the round-5 verdict. The window leads with the
+# 20 TPC-H shapes that have never had a driver row (q21 went green in
+# r5), then the never-verified multimodal family (gif codec, frames,
+# wav features, image stats, tar shards, patchify, audio decimate),
+# the full lakehouse family, the wave-6/7 additions promised this
+# rotation (attrib_linear_multi_touch, sim_range_search,
 # link_snm_distributed, feat_quantile_normalize, geo_dbscan_core,
-# ts_anomaly_deseasonal) stay OUTSIDE the window this round — every
-# one of their families already has an in-window representative —
-# and lead the round-6 rotation.
+# ts_anomaly_deseasonal), the four NEW scale-safe window twins
+# (plans/scalewinq.py) plus the two queries whose semantics changed
+# this round and therefore need re-verification (dq_sequence_gaps now
+# audits the 'F'-status slice; geo_trajectory_stats bbox now includes
+# first points), the remaining exact twins of the rows-only approx
+# family (sim_topk_ivf_exact, dedup_simhash_md5), and three heavy
+# never-verified representatives (agg_grouping_sets, win_gaps_islands,
+# udf_batch_inference). Every r5-window query went green and rotates
+# out; r1-r5 cumulative driver-green is preserved in the CORRECTNESS
+# artifacts.
 _DRIVER_WINDOW = [
-    # new this session — first driver verification
-    "text_bm25_topk",
-    "text_pmi_bigrams",
-    "dedup_containment",
-    "text_zipf_fit",
-    "basket_assoc_rules",
-    "ml_nb_train",
-    "ml_nb_classify",
-    "embed_pca_power",
-    "priv_k_anonymity",
-    "priv_pseudonymize",
-    "priv_dp_noisy_counts",
-    "link_sorted_neighborhood",
-    "link_entity_resolution",
-    "ts_seasonal_decompose",
-    "ts_churn_label",
-    "ts_business_days",
-    "snapshot_diff",
-    "attrib_last_touch",
-    "dim_calendar_rollup",
-    "cust_rfm_segments",
-    "dq_freshness",
-    "graph_reciprocity",
-    # changed in round 4/5 — driver must (re-)verify
-    "caic_pipeline",
-    "sample_fraction",
-    "sample_stratified",
-    "sim_lsh_cosine",
-    "join_salted_skew",
-    "multimodal_bmp_codec",
-    "dedup_minhash_md5",
-    # never-sampled flagships
-    "corpus_curation_pipeline",
-    "graph_pagerank",
-    "clickstream_pipeline",
-    "mm_training_prep_pipeline",
-    # one representative per never-sampled family
-    "agg_bitmap_distinct",
-    "tpch_q21_shape",
-    "stat_psi_drift",
-    "stream_cdc_merge",
-    "feature_store_customer",
-    "sink_python_datasource",
-    "stat_ks_two_sample",
-    "dq_key_skew",
-    "scan_keyset_pagination",
-    "subquery_lateral_topn",
-    "scd2_bitemporal",
+    # TPC-H shapes — 20 never-verified (q2/q9/q17/q20 called out by the
+    # round-5 verdict)
+    "tpch_q2_shape",
+    "tpch_q3_shape",
+    "tpch_q4_shape",
+    "tpch_q5_shape",
+    "tpch_q6_shape",
+    "tpch_q7_shape",
+    "tpch_q8_shape",
+    "tpch_q9_shape",
+    "tpch_q10_shape",
+    "tpch_q11_shape",
+    "tpch_q12_shape",
+    "tpch_q13_shape",
+    "tpch_q14_shape",
+    "tpch_q15_shape",
+    "tpch_q16_shape",
+    "tpch_q17_shape",
+    "tpch_q18_shape",
+    "tpch_q19_shape",
+    "tpch_q20_shape",
+    "tpch_q22_shape",
+    # multimodal family — never verified
+    "multimodal_gif_codec",
+    "multimodal_frames",
+    "multimodal_wav_features",
+    "multimodal_image_stats",
+    "multimodal_tar_shards",
+    "multimodal_patchify",
+    "multimodal_audio_decimate",
+    # lakehouse family — never verified
+    "lakehouse_log_replay",
+    "lakehouse_time_travel",
+    "lakehouse_stats_skipping",
+    "lakehouse_delete_vectors",
+    "lakehouse_vacuum",
+    "lakehouse_partition_evolution",
+    # wave-6/7 additions promised for this rotation
+    "attrib_linear_multi_touch",
+    "sim_range_search",
+    "link_snm_distributed",
+    "feat_quantile_normalize",
+    "geo_dbscan_core",
+    "ts_anomaly_deseasonal",
+    # new scale-safe twins + semantics-changed queries (re-verify)
+    "feat_bin_quantile_dist",
+    "feat_quantile_normalize_dist",
+    "dq_sequence_gaps_dist",
+    "stat_ks_binned",
+    "dq_sequence_gaps",
     "geo_trajectory_stats",
-    "eval_auc_exact",
-    "feat_bin_quantile",
-    "sketch_kmv_distinct",
-    "token_bucket_padding",
-    # dq family is represented by the new dq_freshness above;
-    # dq_constraint_suite rotates next round in its place
-    "mv_join_incremental",
+    # exact twins of the rows-only approx family still without a row
+    "sim_topk_ivf_exact",
+    "dedup_simhash_md5",
+    # heavy never-verified representatives
+    "agg_grouping_sets",
+    "win_gaps_islands",
+    "udf_batch_inference",
 ]
 
 
