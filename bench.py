@@ -138,21 +138,31 @@ def main() -> None:
             reverse=True,
         )[:10]
     )
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_FULL.json")
-    with open(full_path, "w") as fh:
-        json.dump(
-            {
-                "sf": sf,
-                "total_sec": total,
-                "queries": timings,
-                "failed": failed,
-                "stall_retries": retries,
-            },
-            fh,
-            indent=1,
-            sort_keys=True,
-        )
+    repo = os.path.dirname(os.path.abspath(__file__))
+    payload = {
+        "sf": sf,
+        "total_sec": total,
+        "queries": timings,
+        "failed": failed,
+        "stall_retries": retries,
+    }
+    with open(os.path.join(repo, "BENCH_FULL.json"), "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    # Also keep a PER-ROUND archive (BENCH_FULL.json is overwritten every
+    # run and gitignored, so prior rounds' per-query timings were
+    # unrecoverable). The round number is inferred from the driver's own
+    # BENCH_r{N}.json artifacts: the run belongs to the round AFTER the
+    # latest recorded one. tools/bench_regressions.py diffs two archives.
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(repo)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    this_round = (max(rounds) + 1) if rounds else 1
+    with open(
+        os.path.join(repo, f"BENCH_FULL_r{this_round:02d}.json"), "w"
+    ) as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
     spark.stop()
     # The short machine-readable line goes LAST so a bounded tail capture
     # always contains it intact.

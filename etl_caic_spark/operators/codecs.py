@@ -6,9 +6,11 @@ decodable with the standard library plus NumPy. These codecs make the
 multimodal pipeline REAL end-to-end for image and audio payloads: the
 binary column holds genuine PNG/WAV bytes, and decode/resize/feature
 stages operate on actual pixels/samples instead of the deterministic fake
-(operators/multimodal.py keeps the fake for its oracled byte-stat queries;
-the codec queries in plans/multimodalq2.py are rows-only with exact
-encode→decode roundtrip pytests).
+(operators/multimodal.py's decode_media sniffs magic bytes and routes
+real PNG/BMP/GIF payloads here, keeping its deterministic byte-stat
+fallback only for opaque payloads — the oracled byte-stat queries feed
+it text bytes; the codec queries in plans/multimodalq2.py carry exact
+encode→decode roundtrip pytests and hash-oracled md5 twins).
 
 Supported subset (documented, asserted):
 - PNG: 8-bit, greyscale (color type 0) and RGB (color type 2), no

@@ -2,11 +2,13 @@
 as opaque BINARY columns with typed metadata structs, decoded/feature-
 extracted via Arrow-batched mapInPandas.
 
-The container has no image/audio libraries, so the actual codec step is
-STUBBED (NotImplementedError behind an import-try, with a deterministic
-fake used in its place) — but everything Spark-side is real and tested:
-the binary column, the metadata schema, the mapInPandas batch iterator
-signature, partition behavior, and the frame-sampling explode.
+The decode step routes REAL container formats (PNG/BMP/GIF magic bytes)
+through the pure-stdlib codecs in operators/codecs.py and takes a
+deterministic byte-stat fallback for opaque payloads (the oracled
+fixture queries encode text bytes, which keeps their hashes stable).
+Everything Spark-side is real and tested: the binary column, the
+metadata schema, the mapInPandas batch iterator signature, partition
+behavior, and the frame-sampling explode.
 
 Scale: payload bytes travel in the columns (at 100 TB the binary column
 lives in parquet row groups next to its metadata — no side files, no
@@ -44,29 +46,37 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_real(payload: bytes):  # pragma: no cover - no codecs in container
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image decode requires pillow; container ships none — "
-            "using deterministic fake decode"
-        ) from exc
-    raise NotImplementedError("real decode path not wired in this environment")
+def _decode_payload(payload: bytes) -> tuple[int, str, int, int]:
+    """Decode a media payload: REAL container formats (PNG/BMP/GIF, the
+    pure-stdlib codecs in operators/codecs.py) yield their true pixel
+    dimensions; any other byte string gets the deterministic byte-stat
+    fallback (length-derived dims) so opaque fixture payloads stay
+    hash-stable. Magic-byte sniff first — never throws."""
+    from etl_caic_spark.operators import codecs
 
-
-def _decode_fake(payload: bytes) -> tuple[int, str, int, int]:
-    """Deterministic stand-in for the codec: byte stats instead of pixels."""
     digest = hashlib.sha256(payload).hexdigest()[:16]
     n = len(payload)
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            arr = codecs.decode_png(payload)
+            return n, digest, arr.shape[1], arr.shape[0]
+        if payload[:2] == b"BM":
+            arr = codecs.decode_bmp(payload)
+            return n, digest, arr.shape[1], arr.shape[0]
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            arr = codecs.decode_gif(payload)
+            return n, digest, arr.shape[1], arr.shape[0]
+    except Exception:
+        pass  # malformed container -> byte-stat fallback below
     return n, digest, n % 64 + 16, n % 48 + 16
 
 
 def decode_media(df: DataFrame, frame_every: int = 64) -> DataFrame:
-    """mapInPandas 'decode' + feature extraction: per row, byte length,
+    """mapInPandas decode + feature extraction: per row, byte length,
     checksum, decoded dims, and a frame count (len // frame_every — the
-    video-ish frame-sampling knob). Swap _decode_fake for _decode_real when
-    codecs exist; the Spark-side contract is identical."""
+    video-ish frame-sampling knob). Real PNG/BMP/GIF payloads are decoded
+    by operators/codecs.py; opaque payloads take the deterministic
+    byte-stat path (the oracled fixture queries rely on it)."""
 
     def _decode(batches):
         for pdf in batches:
@@ -80,7 +90,7 @@ def decode_media(df: DataFrame, frame_every: int = 64) -> DataFrame:
             }
             for payload in pdf["payload"]:
                 raw = bytes(payload)
-                n, digest, w, h = _decode_fake(raw)
+                n, digest, w, h = _decode_payload(raw)
                 out["n_bytes"].append(n)
                 out["checksum"].append(digest)
                 out["width"].append(w)
