@@ -59,16 +59,24 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern composes here). State lives in the table, not executor
     memory — unbounded keys are fine. Watermarking is unnecessary
     because late rows lose the (ts, event_id) max_by on merge."""
-    shard_dir = scratch_path("etl_caic_cdcm_shards")
     ckpt_dir = scratch_path("etl_caic_cdcm_ckpt")
     tgt_root = scratch_path("etl_caic_cdcm_target")
-    for p in (shard_dir, ckpt_dir, tgt_root):
+    for p in (ckpt_dir, tgt_root):
         shutil.rmtree(p, ignore_errors=True)
 
-    # Re-shard the log so the file source yields multiple micro-batches.
+    # Re-shard the log so the file source yields multiple micro-batches
+    # (cached across runs — same bytes every time).
     from etl_caic_spark.sources import load_table
+    from etl_caic_spark.streaming.windows import cached_event_shards
 
-    load_table(spark, sf_dir, "events").repartition(4).write.parquet(shard_dir)
+    shard_dir = cached_event_shards(
+        spark,
+        sf_dir,
+        "etl_caic_cdcm_shards",
+        lambda p: load_table(spark, sf_dir, "events")
+        .repartition(4)
+        .write.parquet(p),
+    )
 
     ev = (
         spark.readStream.schema(spark.read.parquet(shard_dir).schema)
@@ -111,13 +119,19 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(tgt_root, f"v{int(epoch_id):06d}")
         )
 
-    q = (
-        ev.writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from etl_caic_spark.streaming.windows import clamped_shuffle
+
+    # The per-batch merge jobs inherit the SESSION's shuffle partition
+    # count (200 under a plain session) for their tiny window shuffles —
+    # clamp for the replay like run_stream_to_table does.
+    with clamped_shuffle(spark):
+        q = (
+            ev.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     final = _latest_versions()[-1]
     return spark.read.parquet(final).select(
         "user_id", "event_id", "event_type", "value", "ts_s"

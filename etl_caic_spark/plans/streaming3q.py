@@ -13,7 +13,6 @@ demonstrated end-to-end.
 
 from __future__ import annotations
 
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -21,7 +20,6 @@ from pyspark.sql import functions as F
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 from etl_caic_spark.streaming import windows as SW
-from etl_caic_spark.util import scratch_path
 
 
 @register(
@@ -55,14 +53,17 @@ def stream_multi_batch_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     here because the replay is bounded; production adds
     withWatermark to bound state (stream_watermark is that sibling).
     The shard column rides the directory, not the rows."""
-    shard_dir = scratch_path("etl_caic_mbw_shards")
-    shutil.rmtree(shard_dir, ignore_errors=True)
+    from etl_caic_spark.streaming.windows import cached_event_shards
+
     ev = load_table(spark, sf_dir, "events")
-    (
-        ev.withColumn("shard", (F.col("event_id") % 4).cast("int"))
+    shard_dir = cached_event_shards(
+        spark,
+        sf_dir,
+        "etl_caic_mbw_shards",
+        lambda p: ev.withColumn("shard", (F.col("event_id") % 4).cast("int"))
         .repartition("shard")
         .write.partitionBy("shard")
-        .parquet(shard_dir)
+        .parquet(p),
     )
     schema = spark.read.parquet(shard_dir).schema
     stream = (

@@ -12,7 +12,6 @@ exercise.
 
 from __future__ import annotations
 
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -20,7 +19,6 @@ from pyspark.sql import functions as F
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 from etl_caic_spark.streaming import windows as SW
-from etl_caic_spark.util import scratch_path
 
 _GAP = "30 minutes"
 
@@ -74,16 +72,22 @@ def stream_session_merge_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     production form is append + watermark (stream_session is that
     sibling); the state-store merge mechanics proven here are
     identical in both."""
-    shard_dir = scratch_path("etl_caic_smb_shards")
-    shutil.rmtree(shard_dir, ignore_errors=True)
+    from etl_caic_spark.streaming.windows import cached_event_shards
+
     ev = load_table(spark, sf_dir, "events")
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
-    cut = lo + (hi - lo) / 2
-    (
-        ev.withColumn("half", (F.col("ts") >= F.lit(cut)).cast("int"))
-        .repartition("half")
-        .write.partitionBy("half")
-        .parquet(shard_dir)
+
+    def _write_halves(p: str) -> None:
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        cut = lo + (hi - lo) / 2
+        (
+            ev.withColumn("half", (F.col("ts") >= F.lit(cut)).cast("int"))
+            .repartition("half")
+            .write.partitionBy("half")
+            .parquet(p)
+        )
+
+    shard_dir = cached_event_shards(
+        spark, sf_dir, "etl_caic_smb_shards", _write_halves
     )
     schema = spark.read.parquet(shard_dir).schema
     stream = (

@@ -15,13 +15,54 @@ per key — the standard Structured Streaming story, nothing custom.
 
 from __future__ import annotations
 
+import os
 import uuid
+from contextlib import contextmanager
 
-from etl_caic_spark.util import scratch_dir
+from etl_caic_spark.util import scratch_dir, scratch_path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# State stores instantiate per shuffle partition per stateful operator;
+# for bounded replays that fixed cost dominates wall time (measured:
+# stream-stream join 9.9s at 32 partitions, ~4s at 8, ~2.7s at 4). On a
+# real cluster this is sized to state volume, never this small.
+_REPLAY_SHUFFLE_CAP = 4
+
+
+@contextmanager
+def clamped_shuffle(spark: SparkSession, cap: int = _REPLAY_SHUFFLE_CAP):
+    """Temporarily cap spark.sql.shuffle.partitions (restored on exit).
+    Used around every bounded streaming replay, including queries that
+    manage their own writeStream/awaitTermination (e.g. foreachBatch
+    merges, whose per-batch jobs otherwise shuffle at the session's
+    full partition count — 200 under the driver's plain session)."""
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old_parts), cap)))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def cached_event_shards(spark: SparkSession, sf_dir: str, name: str, writer):
+    """Materialize a deterministic re-shard of a fixture table once per
+    (shard scheme, sf_dir) and reuse it across runs — the re-shard is
+    pure fixed cost (same bytes every run), so repeated replays
+    (correctness pass, bench, tests) shouldn't pay the write again.
+    ``writer(path)`` produces the parquet dir; a _SUCCESS marker gates
+    reuse. Keyed by the sf_dir basename so sf0.01 and sf0.1 never share
+    a cache entry."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = scratch_path(f"{name}_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        writer(path)
+    return path
 
 def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
     """The stream reader needs the schema up front; ``ts``'s raw type depends
@@ -143,15 +184,12 @@ def run_stream_to_table(
 
     Stateful operators instantiate one state store per shuffle partition;
     at replay scale that fixed cost dominates (a 32-partition stream-stream
-    join measured 9.9s vs ~4s at 8), so the shuffle-partition count is
-    capped for the duration of the query and restored after. On a real
-    cluster this knob is sized to state volume, not cores."""
+    join measured 9.9s vs ~4s at 8 and ~2.7s at 4 — round-6 re-measure),
+    so the shuffle-partition count is capped for the duration of the query
+    and restored after. On a real cluster this knob is sized to state
+    volume, not cores."""
     name = "s" + uuid.uuid4().hex[:12]
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(min(int(old_parts), 8))
-    )
-    try:
+    with clamped_shuffle(spark):
         q = (
             streaming_df.writeStream.format("memory")
             .queryName(name)
@@ -161,6 +199,4 @@ def run_stream_to_table(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
