@@ -1,0 +1,988 @@
+"""Round-6 third wave: distribution tests (Jarque-Bera), categorical
+dependence (mutual information, Cramér's V), single-pass resampling
+(Poisson bootstrap), lead-lag cross-correlation, CUSUM changepoint,
+exact multi-feature OLS, decision-stump training, and MMR re-ranking.
+
+Conventions (registry.py): identical aliases both engines; every
+quantity that crosses an aggregation is frozen to exact integers (or
+DECIMAL(38,0)/HUGEINT power sums) first; doubles appear only in final
+mirrored expressions evaluated in the same operation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_caic_spark.registry import register
+from etl_caic_spark.sources import load_table
+
+
+@register(
+    "stat_jarque_bera",
+    oracle="""
+    WITH y AS (
+      SELECT l_returnflag AS flag,
+             CAST(CAST(l_quantity AS BIGINT) AS HUGEINT) AS q
+      FROM lineitem
+    ), s AS (
+      SELECT flag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS DOUBLE) AS s1,
+             CAST(sum(q * q) AS DOUBLE) AS s2,
+             CAST(sum(q * q * q) AS DOUBLE) AS s3,
+             CAST(sum((q * q) * (q * q)) AS DOUBLE) AS s4
+      FROM y GROUP BY 1
+    ), m AS (
+      SELECT flag, n,
+             (s3 / n - 3 * (s1 / n) * (s2 / n)
+              + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+             / ((s2 / n - (s1 / n) * (s1 / n))
+                * sqrt(s2 / n - (s1 / n) * (s1 / n))) AS sk,
+             (s4 / n - 4 * (s1 / n) * (s3 / n)
+              + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+              - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+             / ((s2 / n - (s1 / n) * (s1 / n))
+                * (s2 / n - (s1 / n) * (s1 / n))) - 3 AS ek
+      FROM s
+    )
+    SELECT flag, n, round(sk, 6) AS skewness, round(ek, 6) AS ex_kurtosis,
+           round(n / 6.0 * (sk * sk + ek * ek / 4.0), 4) AS jb_stat
+    FROM m
+    """,
+    tags=("stat",),
+)
+def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality statistic per return-flag population:
+    JB = n/6 * (S^2 + K^2/4) from skewness S and excess kurtosis K —
+    the moment-based omnibus test (a uniform quantity distribution
+    shows as strongly negative K, so JB rejects loudly).
+
+    Power sums accumulate EXACTLY in DECIMAL(38,0)/HUGEINT (the
+    agg_skew_kurtosis discipline — streaming double moments are
+    partition-order-dependent and can never hash-match), convert once
+    to double, and the S/K/JB expressions are evaluated in the same
+    operation order as the oracle. One map-side-combined aggregate;
+    at 100 TB the cost is the scan."""
+    dec = "decimal(38,0)"
+    q = F.col("l_quantity").cast("bigint").cast(dec)
+    s = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_returnflag").alias("flag"), q.alias("q"))
+        .groupBy("flag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("q").cast("double").alias("s1"),
+            F.sum(F.col("q") * F.col("q")).cast("double").alias("s2"),
+            F.sum(F.col("q") * F.col("q") * F.col("q"))
+            .cast("double")
+            .alias("s3"),
+            F.sum((F.col("q") * F.col("q")) * (F.col("q") * F.col("q")))
+            .cast("double")
+            .alias("s4"),
+        )
+    )
+    n = F.col("n")
+    m1 = F.col("s1") / n
+    r2 = F.col("s2") / n
+    r3 = F.col("s3") / n
+    r4 = F.col("s4") / n
+    m2 = r2 - m1 * m1
+    sk = (r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1) / (m2 * F.sqrt(m2))
+    ek = (r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1) / (
+        m2 * m2
+    ) - 3
+    return s.select(
+        "flag",
+        "n",
+        F.round(sk, 6).alias("skewness"),
+        F.round(ek, 6).alias("ex_kurtosis"),
+        F.round(n / F.lit(6.0) * (sk * sk + ek * ek / F.lit(4.0)), 4).alias(
+            "jb_stat"
+        ),
+    )
+
+
+@register(
+    "stat_mutual_info",
+    oracle="""
+    WITH cells AS (
+      SELECT l_returnflag AS flag, l_linestatus AS status,
+             CAST(count(*) AS BIGINT) AS n_xy
+      FROM lineitem GROUP BY 1, 2
+    ), mx AS (
+      SELECT flag, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY 1
+    ), my AS (
+      SELECT status, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells
+    ), t AS (
+      SELECT c.flag, c.status, c.n_xy, n_x, n_y, n,
+             round(ln((n * 1.0 * c.n_xy) / (n_x * 1.0 * n_y)), 6) AS pmi,
+             CAST(round(c.n_xy * ln((n * 1.0 * c.n_xy)
+                  / (n_x * 1.0 * n_y)) * 1000000.0) AS BIGINT) AS term_micro
+      FROM cells c JOIN mx USING (flag) JOIN my USING (status)
+      CROSS JOIN tot
+    )
+    SELECT flag, status, n_xy, pmi, term_micro,
+           round(CAST(sum(term_micro) OVER () AS BIGINT)
+                 / (1000000.0 * n), 6) AS mi
+    FROM t
+    """,
+    tags=("stat", "feature"),
+)
+def stat_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between return flag and line status — the
+    categorical feature-selection score: I(X;Y) = sum over cells of
+    p_xy * ln(p_xy / (p_x p_y)), plus the per-cell pointwise MI.
+
+    One groupBy builds the contingency cells; the margins re-aggregate
+    the CELLS (not the fact table — a second scan would double cost),
+    and join back broadcast (cell count is |X|*|Y|, bounded). Per-cell
+    terms freeze to integer micro BEFORE the total (ln is libm, whose
+    last ulp may differ across engines; the micro-freeze absorbs it).
+    The final window is OVER () on 6 rows — cell-grain, the accepted
+    bounded-cardinality class. At 100 TB: one scan, one 6-row tail."""
+    cells = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_linestatus").alias("status"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_xy"))
+    )
+    mx = cells.groupBy("flag").agg(
+        F.sum("n_xy").cast("bigint").alias("n_x")
+    )
+    my = cells.groupBy("status").agg(
+        F.sum("n_xy").cast("bigint").alias("n_y")
+    )
+    tot = cells.agg(F.sum("n_xy").cast("bigint").alias("n"))
+    ratio = (F.col("n") * F.lit(1.0) * F.col("n_xy")) / (
+        F.col("n_x") * F.lit(1.0) * F.col("n_y")
+    )
+    t = (
+        cells.join(F.broadcast(mx), "flag")
+        .join(F.broadcast(my), "status")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "flag",
+            "status",
+            "n_xy",
+            "n",
+            F.round(F.log(ratio), 6).alias("pmi"),
+            F.round(F.col("n_xy") * F.log(ratio) * F.lit(1000000.0))
+            .cast("bigint")
+            .alias("term_micro"),
+        )
+    )
+    return t.select(
+        "flag",
+        "status",
+        "n_xy",
+        "pmi",
+        "term_micro",
+        F.round(
+            F.sum("term_micro").over(Window.partitionBy()).cast("bigint")
+            / (F.lit(1000000.0) * F.col("n")),
+            6,
+        ).alias("mi"),
+    )
+
+
+@register(
+    "stat_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS prio, o_orderstatus AS status,
+             CAST(count(*) AS BIGINT) AS n_xy
+      FROM orders GROUP BY 1, 2
+    ), mx AS (
+      SELECT prio, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY 1
+    ), my AS (
+      SELECT status, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_xy) AS BIGINT) AS n,
+             CAST(count(DISTINCT prio) AS BIGINT) AS r,
+             CAST(count(DISTINCT status) AS BIGINT) AS c
+      FROM cells
+    ), terms AS (
+      SELECT CAST(round(
+               ((n * c2.n_xy - n_x * n_y) * 1.0 * (n * c2.n_xy - n_x * n_y))
+               / (n * 1.0 * n_x * n_y) * 1000000.0) AS BIGINT) AS chi_micro,
+             n, r, c
+      FROM cells c2 JOIN mx USING (prio) JOIN my USING (status)
+      CROSS JOIN tot
+    )
+    SELECT max(n) AS n, CAST((max(r) - 1) * (max(c) - 1) AS BIGINT) AS df,
+           round(CAST(sum(chi_micro) AS BIGINT) / 1000000.0, 6) AS chi2,
+           round(sqrt(CAST(sum(chi_micro) AS BIGINT) / 1000000.0
+                 / (max(n) * least(max(r) - 1, max(c) - 1))), 6)
+             AS cramers_v
+    FROM terms
+    """,
+    tags=("stat",),
+)
+def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the priority × status contingency
+    table: V = sqrt(chi^2 / (n * min(r-1, c-1))) — the normalized
+    [0,1] association strength chi-square alone doesn't give.
+
+    chi^2 uses the cross-multiplied form (n*n_xy - n_x*n_y)^2 /
+    (n*n_x*n_y): the numerator is an EXACT integer (no expected-count
+    float enters), one double division per cell, frozen to micro before
+    the 15-cell sum. Margins come from re-aggregating the cells.
+    BIGINT products hold to ~1e9 rows per table; above that the
+    numerator term goes DECIMAL(38,0) — the same ladder the moment
+    queries document. At 100 TB: one scan, bounded tail."""
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_xy"))
+    )
+    mx = cells.groupBy("prio").agg(F.sum("n_xy").cast("bigint").alias("n_x"))
+    my = cells.groupBy("status").agg(
+        F.sum("n_xy").cast("bigint").alias("n_y")
+    )
+    tot = cells.agg(
+        F.sum("n_xy").cast("bigint").alias("n"),
+        F.count_distinct("prio").cast("bigint").alias("r"),
+        F.count_distinct("status").cast("bigint").alias("c"),
+    )
+    dev = F.col("n") * F.col("n_xy") - F.col("n_x") * F.col("n_y")
+    terms = (
+        cells.join(F.broadcast(mx), "prio")
+        .join(F.broadcast(my), "status")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (dev * F.lit(1.0) * dev)
+                / (F.col("n") * F.lit(1.0) * F.col("n_x") * F.col("n_y"))
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("chi_micro"),
+            "n",
+            "r",
+            "c",
+        )
+    )
+    chi2 = F.sum("chi_micro").cast("bigint") / F.lit(1000000.0)
+    return terms.agg(
+        F.max("n").alias("n"),
+        ((F.max("r") - 1) * (F.max("c") - 1)).cast("bigint").alias("df"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.max("n")
+                    * F.least(F.max("r") - F.lit(1), F.max("c") - F.lit(1))
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# Poisson(1) CDF * 2^32, k = 0..7: weight = #{thresholds <= h} gives a
+# hash-derived Poisson(1) draw truncated at 8 (tail mass ~1e-6).
+_POIS_T = (
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+    4294609777,
+    4294923276,
+)
+_BOOT_REPS = 20
+
+
+@register(
+    "stat_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT unnest(generate_series(0, {_BOOT_REPS - 1})) AS rep
+    ), x AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_orderkey AS VARCHAR) || '-'
+               || CAST(l_linenumber AS VARCHAR) AS rk
+      FROM lineitem
+    ), h AS (
+      SELECT rep, cents,
+             CAST(('0x' || substr(md5('boot-v1|' || CAST(rep AS VARCHAR)
+                  || '|' || rk), 1, 8)) AS BIGINT) AS hv
+      FROM x CROSS JOIN reps
+    ), w AS (
+      SELECT rep, cents,
+             {" + ".join(f"CASE WHEN hv >= {t} THEN 1 ELSE 0 END" for t in _POIS_T)}
+               AS wt
+      FROM h
+    )
+    SELECT rep, CAST(sum(wt) AS BIGINT) AS n_eff,
+           CAST(sum(wt * cents) AS BIGINT) AS sum_cents,
+           round(CAST(sum(wt * cents) AS BIGINT)
+                 / (CAST(sum(wt) AS BIGINT) * 100.0), 4) AS mean_rep
+    FROM w GROUP BY rep
+    """,
+    tags=("stat", "sampling", "scale"),
+)
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean extended price — the resampling
+    method that actually works on a cluster: instead of materializing B
+    resamples (impossible at 100 TB), every row draws an independent
+    Poisson(1) replication WEIGHT per replicate, and a weighted
+    aggregate per replicate reproduces the bootstrap distribution
+    (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams", the standard Spark/MapReduce bootstrap).
+
+    Weights are hash-derived — an md5 of (replicate, row key) compared
+    against the precomputed Poisson(1) CDF ladder scaled to 2^32 — so
+    both engines draw IDENTICAL resamples with no RNG state. The
+    replicate dimension expands in-pipeline (rows x 20 before the
+    partial aggregate, which collapses each partition to 20 rows), so
+    shuffle volume is 20 rows/partition regardless of input size. The
+    percentile CI is read off the 20 ordered replicate means."""
+    reps = spark.range(_BOOT_REPS).select(F.col("id").alias("rep"))
+    x = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rk"),
+    )
+    h = x.crossJoin(F.broadcast(reps)).select(
+        "rep",
+        "cents",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot-v1|"),
+                        F.col("rep").cast("string"),
+                        F.lit("|"),
+                        F.col("rk"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("hv"),
+    )
+    wt = sum(
+        (F.when(F.col("hv") >= t, 1).otherwise(0) for t in _POIS_T),
+        F.lit(0),
+    )
+    w = h.select("rep", "cents", wt.alias("wt"))
+    return w.groupBy("rep").agg(
+        F.sum("wt").cast("bigint").alias("n_eff"),
+        F.sum(F.col("wt") * F.col("cents")).cast("bigint").alias("sum_cents"),
+        F.round(
+            F.sum(F.col("wt") * F.col("cents")).cast("bigint")
+            / (F.sum("wt").cast("bigint") * F.lit(100.0)),
+            4,
+        ).alias("mean_rep"),
+    )
+
+
+@register(
+    "ts_crosscorr",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), idx AS (
+      SELECT x, y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+      FROM d
+    ), st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy
+      FROM idx
+    ), c AS (
+      SELECT t, CAST(n * x - sx AS HUGEINT) AS xc,
+             CAST(n * y - sy AS HUGEINT) AS yc
+      FROM idx CROSS JOIN st
+    ), den AS (
+      SELECT CAST(sum(xc * xc) AS DOUBLE) AS dx,
+             CAST(sum(yc * yc) AS DOUBLE) AS dy
+      FROM c
+    ), lags AS (SELECT unnest(generate_series(-7, 7)) AS lag)
+    SELECT CAST(l.lag AS INT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(a.xc * b.yc) AS DOUBLE) / sqrt(dx * dy), 6)
+             AS ccf
+    FROM lags l
+    JOIN c a ON TRUE
+    JOIN c b ON b.t = a.t + l.lag
+    CROSS JOIN den
+    GROUP BY l.lag, dx, dy
+    """,
+    tags=("ts", "stat"),
+)
+def ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the daily order COUNT series
+    and the daily revenue series at lags -7..+7 — does volume lead
+    value or vice versa. Same exact-integer machinery as ts_acf with
+    denominators cleared (xc = n*x - Sx is integral), but revenue
+    centering overflows int64 when squared (yc ~ 1e11 at sf0.01), so
+    the centered values ride in DECIMAL(38,0)/HUGEINT and convert to
+    double only at the final ratio, mirrored in the same order.
+
+    The series is day-grain (bounded — the accepted global-index
+    class); the 15 lags come from one equi-join against a generated
+    lag dimension, not 15 window passes. At 100 TB the daily rollup is
+    the only data-scale pass."""
+    dec = "decimal(38,0)"
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("x"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    idx = d.select(
+        "x",
+        "y",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+    )
+    st = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    c = idx.crossJoin(F.broadcast(st)).select(
+        "t",
+        (F.col("n") * F.col("x") - F.col("sx")).cast(dec).alias("xc"),
+        (F.col("n") * F.col("y") - F.col("sy")).cast(dec).alias("yc"),
+    )
+    den = c.agg(
+        F.sum(F.col("xc") * F.col("xc")).cast("double").alias("dx"),
+        F.sum(F.col("yc") * F.col("yc")).cast("double").alias("dy"),
+    )
+    lags = spark.range(-7, 8).select(F.col("id").alias("lag"))
+    a = c.select(F.col("t").alias("at"), F.col("xc").alias("axc"))
+    b = c.select(F.col("t").alias("bt"), F.col("yc").alias("byc"))
+    return (
+        F.broadcast(lags)
+        .join(a)
+        .join(b, F.col("bt") == F.col("at") + F.col("lag"))
+        .crossJoin(F.broadcast(den))
+        .groupBy(F.col("lag").cast("int").alias("lag"), "dx", "dy")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("axc") * F.col("byc")).cast("double")
+                / F.sqrt(F.col("dx") * F.col("dy")),
+                6,
+            ).alias("ccf"),
+        )
+        .select("lag", "n_pairs", "ccf")
+    )
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), idx AS (
+      SELECT day, x,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             CAST(sum(x) OVER (ORDER BY day) AS BIGINT) AS cx
+      FROM d
+    ), st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+      FROM idx
+    ), s AS (
+      SELECT day, t, n * cx - t * sx AS s_num, n, sx, cx
+      FROM idx CROSS JOIN st
+      WHERE t < n
+    )
+    SELECT day, t, s_num,
+           round(cx / (t * 1.0), 6) AS mean_before,
+           round((sx - cx) / ((n - t) * 1.0), 6) AS mean_after
+    FROM s
+    ORDER BY abs(s_num) DESC, day ASC
+    LIMIT 3
+    """,
+    tags=("ts", "anomaly"),
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily order-count series: the
+    split point t maximizing |sum_{i<=t}(x_i - mean)| — the classic
+    offline mean-shift locator. With denominators cleared the statistic
+    S_t = n*C_t - t*Sx is an EXACT integer (C_t = running sum), so the
+    argmax is unambiguous cross-engine; the before/after means are the
+    only doubles. Output: top-3 candidate days with segment means.
+
+    The running sum is a window at day grain (bounded cardinality, the
+    accepted class); the top-3 compiles to TakeOrderedAndProject. At
+    100 TB the daily rollup is the only data-scale pass."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    w = Window.orderBy("day")
+    idx = d.select(
+        "day",
+        "x",
+        F.row_number().over(w).cast("bigint").alias("t"),
+        F.sum("x").over(w).cast("bigint").alias("cx"),
+    )
+    st = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+    )
+    s = (
+        idx.crossJoin(F.broadcast(st))
+        .filter(F.col("t") < F.col("n"))
+        .select(
+            "day",
+            "t",
+            (F.col("n") * F.col("cx") - F.col("t") * F.col("sx")).alias(
+                "s_num"
+            ),
+            F.round(F.col("cx") / (F.col("t") * F.lit(1.0)), 6).alias(
+                "mean_before"
+            ),
+            F.round(
+                (F.col("sx") - F.col("cx"))
+                / ((F.col("n") - F.col("t")) * F.lit(1.0)),
+                6,
+            ).alias("mean_after"),
+        )
+    )
+    return s.orderBy(F.abs(F.col("s_num")).desc(), F.col("day").asc()).limit(3)
+
+
+@register(
+    "ml_ols_multi",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(CAST(l_quantity AS BIGINT) AS HUGEINT) AS x1,
+             CAST(CAST(round(l_discount * 1000000) AS BIGINT) AS HUGEINT)
+               AS x2,
+             CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+               AS y
+      FROM lineitem
+    ), g AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x1) AS DOUBLE) AS sx1,
+             CAST(sum(x2) AS DOUBLE) AS sx2,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+             CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+             CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+             CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+             CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM b
+    ), d AS (
+      SELECT *,
+             n * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2)
+               + sx2 * (sx1 * s12 - s11 * sx2) AS det
+      FROM g
+    ), coef AS (
+      SELECT *,
+        (sy * (s11 * s22 - s12 * s12) - sx1 * (s1y * s22 - s12 * s2y)
+          + sx2 * (s1y * s12 - s11 * s2y)) / det AS b0,
+        (n * (s1y * s22 - s2y * s12) - sy * (sx1 * s22 - s12 * sx2)
+          + sx2 * (sx1 * s2y - s1y * sx2)) / det AS b1,
+        (n * (s11 * s2y - s12 * s1y) - sx1 * (sx1 * s2y - s1y * sx2)
+          + sy * (sx1 * s12 - s11 * sx2)) / det AS b2
+      FROM d
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+           round((b0 * sy + b1 * s1y + b2 * s2y - sy * sy / n)
+                 / (syy - sy * sy / n), 6) AS r2
+    FROM coef
+    """,
+    tags=("ml", "stat", "scale"),
+)
+def ml_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form two-feature OLS (extended price ~ quantity +
+    discount-micro) via the normal equations: the Gram matrix and
+    moment vector accumulate EXACTLY in DECIMAL(38,0)/HUGEINT (y*y
+    alone brushes int64 at sf0.01), convert once to double, and the
+    3x3 system is solved by Cramer's rule written cofactor-for-cofactor
+    identically on both engines, so the coefficients are bit-exact
+    before the 6-dp round. R^2 comes from the same sums (SSR =
+    b'X'y - n*ybar^2). This is the canonical single-pass distributed
+    linear regression: at 100 TB it is ONE map-side-combined aggregate
+    producing 10 numbers, then driver-free scalar algebra — no
+    iteration, no collect of anything data-sized."""
+    dec = "decimal(38,0)"
+    b = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").cast(dec).alias("x1"),
+        F.round(F.col("l_discount") * 1000000)
+        .cast("bigint")
+        .cast(dec)
+        .alias("x2"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .cast(dec)
+        .alias("y"),
+    )
+    g = b.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("sx1"),
+        F.sum("x2").cast("double").alias("sx2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx1, sx2, sy = F.col("n"), F.col("sx1"), F.col("sx2"), F.col("sy")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - sx1 * (sx1 * s22 - s12 * sx2)
+        + sx2 * (sx1 * s12 - s11 * sx2)
+    )
+    b0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - sx1 * (s1y * s22 - s12 * s2y)
+        + sx2 * (s1y * s12 - s11 * s2y)
+    ) / det
+    b1 = (
+        n * (s1y * s22 - s2y * s12)
+        - sy * (sx1 * s22 - s12 * sx2)
+        + sx2 * (sx1 * s2y - s1y * sx2)
+    ) / det
+    b2 = (
+        n * (s11 * s2y - s12 * s1y)
+        - sx1 * (sx1 * s2y - s1y * sx2)
+        + sy * (sx1 * s12 - s11 * sx2)
+    ) / det
+    return g.select(
+        n.cast("bigint").alias("n"),
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+        F.round(
+            (b0 * sy + b1 * s1y + b2 * s2y - sy * sy / n)
+            / (syy - sy * sy / n),
+            6,
+        ).alias("r2"),
+    )
+
+
+@register(
+    "ml_decision_stump",
+    oracle="""
+    WITH per_v AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM lineitem GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+      FROM per_v
+    ), splits AS (
+      SELECT a.v AS t,
+             CAST(sum(b.cnt) AS BIGINT) AS nl,
+             CAST(sum(b.pos) AS BIGINT) AS pl
+      FROM per_v a JOIN per_v b ON b.v <= a.v
+      GROUP BY a.v
+    ), sc AS (
+      SELECT t, nl, n - nl AS nr, pl, p - pl AS pr,
+             pl * pl + (nl - pl) * (nl - pl) AS a_sq,
+             (p - pl) * (p - pl)
+               + ((n - nl) - (p - pl)) * ((n - nl) - (p - pl)) AS b_sq,
+             n
+      FROM splits CROSS JOIN tot
+      WHERE nl > 0 AND n - nl > 0
+    )
+    SELECT t, nl, nr, pl, pr,
+           CAST(round((a_sq * nr + b_sq * nl) * 1000000.0 / (nl * 1.0 * nr))
+                AS BIGINT) AS purity_micro,
+           round(((nl - a_sq / (nl * 1.0)) + (nr - b_sq / (nr * 1.0)))
+                 / (n * 1.0), 9) AS gini_split
+    FROM sc
+    """,
+    tags=("ml", "feature"),
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-1 decision-tree training: evaluate EVERY candidate split
+    threshold t on quantity (predicting returnflag='R') and emit the
+    weighted-Gini table the tree builder would argmin over. The best
+    split maximizes purity = A/nl + B/nr (A, B = sums of squared class
+    counts left/right) — emitted cross-multiplied and micro-frozen
+    ((A*nr + B*nl)/(nl*nr)) so the ordering is engine-exact.
+
+    The distributed-training shape: one groupBy collapses the fact
+    table to per-value class counts (|support| rows), and every split's
+    left-side counts come from a TRIANGULAR broadcast join over that
+    bounded support (the Mann-Whitney pattern) — no per-threshold scan,
+    no window. At 100 TB: one scan + |support|^2 broadcast-side work;
+    continuous features pre-bin to a fixed grid first (the KS ladder),
+    which is exactly what Spark MLlib's QuantileDiscretizer + histogram
+    tree (XGBoost-style) does."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_v = li.groupBy(F.col("l_quantity").cast("bigint").alias("v")).agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    tot = per_v.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("p"),
+    )
+    b = per_v.select(
+        F.col("v").alias("bv"),
+        F.col("cnt").alias("bcnt"),
+        F.col("pos").alias("bpos"),
+    )
+    splits = (
+        per_v.join(F.broadcast(b), F.col("bv") <= F.col("v"))
+        .groupBy(F.col("v").alias("t"))
+        .agg(
+            F.sum("bcnt").cast("bigint").alias("nl"),
+            F.sum("bpos").cast("bigint").alias("pl"),
+        )
+    )
+    sc = (
+        splits.crossJoin(F.broadcast(tot))
+        .filter((F.col("nl") > 0) & (F.col("n") - F.col("nl") > 0))
+        .select(
+            "t",
+            "nl",
+            (F.col("n") - F.col("nl")).alias("nr"),
+            "pl",
+            (F.col("p") - F.col("pl")).alias("pr"),
+            "n",
+        )
+        .withColumn(
+            "a_sq",
+            F.col("pl") * F.col("pl")
+            + (F.col("nl") - F.col("pl")) * (F.col("nl") - F.col("pl")),
+        )
+        .withColumn(
+            "b_sq",
+            F.col("pr") * F.col("pr")
+            + (F.col("nr") - F.col("pr")) * (F.col("nr") - F.col("pr")),
+        )
+    )
+    return sc.select(
+        "t",
+        "nl",
+        "nr",
+        "pl",
+        "pr",
+        F.round(
+            (F.col("a_sq") * F.col("nr") + F.col("b_sq") * F.col("nl"))
+            * F.lit(1000000.0)
+            / (F.col("nl") * F.lit(1.0) * F.col("nr"))
+        )
+        .cast("bigint")
+        .alias("purity_micro"),
+        F.round(
+            (
+                (F.col("nl") - F.col("a_sq") / (F.col("nl") * F.lit(1.0)))
+                + (F.col("nr") - F.col("b_sq") / (F.col("nr") * F.lit(1.0)))
+            )
+            / (F.col("n") * F.lit(1.0)),
+            9,
+        ).alias("gini_split"),
+    )
+
+
+_MMR_POOL = 30
+_MMR_K = 5
+
+
+def _mmr_oracle() -> str:
+    """Unroll the greedy MMR selection as DuckDB CTEs: candidate pool
+    (top-30 cosine vs query vec 0), pairwise candidate sims, then K
+    argmax steps, each maximizing 7*rel - 3*maxsim (lambda=0.7 with
+    integer-micro weights) over the not-yet-selected pool."""
+    base = f"""
+    WITH nv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ), q AS (SELECT e, nrm FROM nv WHERE vec_id = 0),
+    cands AS (
+      SELECT c.vec_id, c.e, c.nrm,
+             CAST(round(list_inner_product(q.e, c.e)
+                  / (q.nrm * c.nrm) * 1000000) AS BIGINT) AS rel_micro
+      FROM nv c CROSS JOIN q
+      WHERE c.vec_id <> 0
+      ORDER BY rel_micro DESC, c.vec_id ASC
+      LIMIT {_MMR_POOL}
+    ), sims AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             CAST(round(list_inner_product(a.e, b.e)
+                  / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS sim_micro
+      FROM cands a JOIN cands b ON a.vec_id <> b.vec_id
+    ),
+    pick1 AS (
+      SELECT vec_id, rel_micro, CAST(0 AS BIGINT) AS maxsim_micro
+      FROM cands ORDER BY rel_micro DESC, vec_id ASC LIMIT 1
+    )"""
+    parts = [base]
+    prev_sel = "(SELECT vec_id FROM pick1)"
+    for i in range(2, _MMR_K + 1):
+        parts.append(f""",
+    pick{i} AS (
+      SELECT c.vec_id, c.rel_micro,
+             CAST(max(s.sim_micro) AS BIGINT) AS maxsim_micro
+      FROM cands c JOIN sims s
+        ON s.a = c.vec_id AND s.b IN {prev_sel}
+      WHERE c.vec_id NOT IN {prev_sel}
+      GROUP BY c.vec_id, c.rel_micro
+      ORDER BY 7 * c.rel_micro - 3 * CAST(max(s.sim_micro) AS BIGINT) DESC,
+               c.vec_id ASC
+      LIMIT 1
+    )""")
+        prev_sel = (
+            "("
+            + " UNION ALL ".join(
+                f"SELECT vec_id FROM pick{j}" for j in range(1, i + 1)
+            )
+            + ")"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS pick, vec_id, rel_micro, maxsim_micro,"
+        f" 7 * rel_micro - 3 * maxsim_micro AS mmr_score FROM pick{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    parts.append("\n    " + sel)
+    return "".join(parts)
+
+
+@register(
+    "rag_mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("retrieval", "llm", "similarity"),
+)
+def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking — the diversity-aware
+    result selection every RAG retriever runs after ANN recall:
+    greedily pick k=5 of the top-30 cosine candidates, each step
+    maximizing lambda*rel - (1-lambda)*max-sim-to-already-picked
+    (lambda=0.7). With rel and sim frozen to integer micro, the
+    objective is EXACT integer arithmetic (7*rel - 3*maxsim), so the
+    greedy argmax sequence is engine-identical; ties break on vec_id.
+
+    Plan: candidate recall is the brute-force cosine scan (broadcast
+    1-row query); the greedy loop then runs on the BOUNDED candidate
+    pool (30 rows, localCheckpointed) — k tiny argmax jobs, the
+    kmeans/logreg precedent for bounded driver-side state. At 100 TB
+    the recall stage is the ANN index (sim_topk_ivf); MMR's cost is
+    O(pool^2) regardless of corpus size."""
+    from etl_caic_spark.operators.similarity import _dot, with_norm
+
+    nv = with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = nv.filter(F.col("vec_id") == 0).select(
+        F.col("_vec").alias("q_vec"), F.col("_norm").alias("q_norm")
+    )
+    cands = (
+        nv.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "_vec",
+            "_norm",
+            F.round(
+                _dot(F.col("q_vec"), F.col("_vec"))
+                / (F.col("q_norm") * F.col("_norm"))
+                * F.lit(1000000)
+            )
+            .cast("bigint")
+            .alias("rel_micro"),
+        )
+        .orderBy(F.col("rel_micro").desc(), F.col("vec_id").asc())
+        .limit(_MMR_POOL)
+        .localCheckpoint()
+    )
+    a = cands.select(
+        F.col("vec_id").alias("a"),
+        F.col("_vec").alias("a_vec"),
+        F.col("_norm").alias("a_norm"),
+    )
+    bb = cands.select(
+        F.col("vec_id").alias("b"),
+        F.col("_vec").alias("b_vec"),
+        F.col("_norm").alias("b_norm"),
+    )
+    sims = (
+        a.join(bb, F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                _dot(F.col("a_vec"), F.col("b_vec"))
+                / (F.col("a_norm") * F.col("b_norm"))
+                * F.lit(1000000)
+            )
+            .cast("bigint")
+            .alias("sim_micro"),
+        )
+        .localCheckpoint()
+    )
+    pool = cands.select("vec_id", "rel_micro")
+    picks: list[tuple[int, int, int, int]] = []
+    first = pool.orderBy(
+        F.col("rel_micro").desc(), F.col("vec_id").asc()
+    ).first()
+    picks.append((1, first["vec_id"], first["rel_micro"], 0))
+    for step in range(2, _MMR_K + 1):
+        sel_ids = [p[1] for p in picks]
+        cand_rows = (
+            pool.filter(~F.col("vec_id").isin(sel_ids))
+            .join(
+                sims.filter(F.col("b").isin(sel_ids)),
+                F.col("a") == F.col("vec_id"),
+            )
+            .groupBy("vec_id", "rel_micro")
+            .agg(F.max("sim_micro").cast("bigint").alias("maxsim_micro"))
+            .orderBy(
+                (
+                    F.lit(7) * F.col("rel_micro")
+                    - F.lit(3) * F.col("maxsim_micro")
+                ).desc(),
+                F.col("vec_id").asc(),
+            )
+            .first()
+        )
+        picks.append(
+            (
+                step,
+                cand_rows["vec_id"],
+                cand_rows["rel_micro"],
+                cand_rows["maxsim_micro"],
+            )
+        )
+    out = spark.createDataFrame(
+        [(p, v, r, m, 7 * r - 3 * m) for p, v, r, m in picks],
+        "pick int, vec_id bigint, rel_micro bigint, maxsim_micro bigint,"
+        " mmr_score bigint",
+    )
+    return out
