@@ -94,6 +94,7 @@ from etl_caic_spark.plans import scalewinq  # noqa: F401,E402
 from etl_caic_spark.plans import round6q  # noqa: F401,E402
 from etl_caic_spark.plans import round6b  # noqa: F401,E402
 from etl_caic_spark.plans import round6c  # noqa: F401,E402
+from etl_caic_spark.plans import round6d  # noqa: F401,E402
 
 # Round-6 rotation: burn down the never-driver-verified debt,
 # heaviest-first per the round-5 verdict. The window leads with the

@@ -442,6 +442,18 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     same profile as the pagerank/BFS/SSSP siblings. Fixed rounds rather
     than convergence detection keeps the plan static; real deployments
     pick rounds ~ graph diameter."""
+    _, labels = lpa_communities(spark, sf_dir)
+    return labels.select(
+        F.col("v").alias("user_id"), F.col("label").alias("community")
+    )
+
+
+def lpa_communities(
+    spark: SparkSession, sf_dir: str, rounds: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Shared LPA machinery: (symmetric edge set, labels after `rounds`
+    synchronous min-label rounds). Used by graph_label_propagation and
+    the modularity scorer (round6d)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     seq = ev.select(
@@ -459,7 +471,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("u").alias("v")).distinct().select(
         "v", F.col("v").alias("label")
     )
-    for _ in range(3):
+    for _ in range(rounds):
         nb = edges.join(
             labels.select(F.col("v").alias("u"), "label"), "u"
         ).select("v", "label")
@@ -472,9 +484,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("v", "label")
         )
-    return labels.select(
-        F.col("v").alias("user_id"), F.col("label").alias("community")
-    )
+    return edges, labels
 
 
 @register(
