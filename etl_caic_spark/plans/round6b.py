@@ -391,13 +391,20 @@ def _event_edges_sym_sql() -> str:
                ORDER BY ts, event_id) AS src,
              user_id AS dst
       FROM events
-    ), dedges AS (
-      SELECT DISTINCT src, dst FROM seq
-      WHERE src IS NOT NULL AND src <> dst
+    ), pc AS (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE src IS NOT NULL AND src <> dst
+      GROUP BY 1, 2
+    ), kept AS (
+      SELECT pc.a, pc.b FROM pc
+      JOIN customer ca ON pc.a = ca.c_custkey
+      JOIN customer cb ON pc.b = cb.c_custkey
+      WHERE ca.c_nationkey = cb.c_nationkey OR pc.c >= 5
     ), edges AS (
-      SELECT src AS u, dst AS v FROM dedges
+      SELECT a AS u, b AS v FROM kept
       UNION
-      SELECT dst AS u, src AS v FROM dedges
+      SELECT b AS u, a AS v FROM kept
     )"""
 
 
@@ -428,11 +435,20 @@ def _lpa_round_sql(prev: str, cur: str) -> str:
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label propagation (3 rounds) over the undirected
-    event-interaction graph (same edge derivation as graph_pagerank,
-    symmetrized): every vertex starts as its own label; each round it
-    adopts the most frequent label among its neighbors, ties broken by
-    the smallest label — the deterministic variant of LPA community
-    detection (raw LPA's random tie-breaks can't be hash-verified).
+    user-affinity graph: every vertex starts as its own label; each
+    round it adopts the most frequent label among its neighbors, ties
+    broken by the smallest label — the deterministic variant of LPA
+    community detection (raw LPA's random tie-breaks can't be
+    hash-verified).
+
+    Edge rule (planted-partition sparsifier): consecutive-event user
+    pairs (lag per event_type) are counted; a pair becomes an edge when
+    the users share a nation (homophily edges, via the customer dim)
+    OR co-occur >= 5 times (strong cross-community ties). The raw
+    consecutive-pair graph is near-complete at any density (avg degree
+    ~n), so every partition scores modularity ~0 on it; restricting to
+    same-market + heavy pairs yields a graph whose community structure
+    LPA can actually recover — the standard benchmark construction.
 
     Plan per round: one join (labels ⋈ edges on the source endpoint),
     one count groupBy, one vertex-partitioned top-1 window (compiled to
@@ -453,19 +469,46 @@ def lpa_communities(
 ) -> tuple[DataFrame, DataFrame]:
     """Shared LPA machinery: (symmetric edge set, labels after `rounds`
     synchronous min-label rounds). Used by graph_label_propagation and
-    the modularity scorer (round6d)."""
+    the modularity scorer (round6d).
+
+    Edges: consecutive-event user pairs kept when same-nation (customer
+    dim broadcast) or co-occurrence count >= 5 — see the
+    graph_label_propagation docstring for why the raw pair graph is
+    unusable (near-complete)."""
     ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     seq = ev.select(
         F.lag("user_id").over(w).alias("src"), F.col("user_id").alias("dst")
     )
-    dedges = seq.filter(
-        F.col("src").isNotNull() & (F.col("src") != F.col("dst"))
-    ).distinct()
+    pc = (
+        seq.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    kept = (
+        pc.join(
+            F.broadcast(cust.select(F.col("c_custkey").alias("a"),
+                                    F.col("c_nationkey").alias("na"))),
+            "a",
+        )
+        .join(
+            F.broadcast(cust.select(F.col("c_custkey").alias("b"),
+                                    F.col("c_nationkey").alias("nb"))),
+            "b",
+        )
+        .filter((F.col("na") == F.col("nb")) | (F.col("c") >= 5))
+        .select("a", "b")
+    )
     edges = (
-        dedges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .union(dedges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-        .distinct()
+        kept.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(kept.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .localCheckpoint()
     )
     labels = edges.select(F.col("u").alias("v")).distinct().select(

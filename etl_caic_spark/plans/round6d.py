@@ -127,6 +127,8 @@ def rec_item_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT u AS v, u AS label FROM edges GROUP BY u
     )"""
     + _lpa_round_sql("l0", "l1")
+    + _lpa_round_sql("l1", "l2")
+    + _lpa_round_sql("l2", "l3")
     + """, deg AS (
       SELECT u AS v, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1
     ), m AS (
@@ -134,13 +136,13 @@ def rec_item_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), within AS (
       SELECT ca.label AS community, CAST(count(*) AS BIGINT) AS e_within
       FROM edges e
-      JOIN l1 ca ON e.u = ca.v
-      JOIN l1 cb ON e.v = cb.v AND ca.label = cb.label
+      JOIN l3 ca ON e.u = ca.v
+      JOIN l3 cb ON e.v = cb.v AND ca.label = cb.label
       GROUP BY 1
     ), dsum AS (
       SELECT label AS community, CAST(count(*) AS BIGINT) AS size,
              CAST(sum(d) AS BIGINT) AS d_c
-      FROM l1 JOIN deg USING (v) GROUP BY 1
+      FROM l3 JOIN deg USING (v) GROUP BY 1
     ), terms AS (
       SELECT ds.community, ds.size, coalesce(w.e_within, 0) AS e_within,
              ds.d_c,
@@ -170,7 +172,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (shuffle on vertex, same profile as an LPA round) and
     labels->degrees for d_c. Community-grain output; the OVER () total
     runs on community cardinality, the accepted bounded class."""
-    edges, labels = lpa_communities(spark, sf_dir, rounds=1)
+    edges, labels = lpa_communities(spark, sf_dir, rounds=3)
     deg = edges.groupBy(F.col("u").alias("v")).agg(
         F.count("*").cast("bigint").alias("d")
     )
