@@ -235,9 +235,39 @@ def dim_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "cust_rfm_segments",
-    oracle="""
+def rfm_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-grain RFM features (recency days vs corpus end, order
+    count, integer-cents monetary) — shared by cust_rfm_segments and
+    its scale twin."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("corpus_end"))
+    return (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "corpus_end")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff(
+                F.col("corpus_end").cast("date"), F.col("last_order").cast("date")
+            )
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+
+
+# Shared with the scale-safe twin cust_rfm_segments_dist (scalewinq.py):
+# the twin hash-matches the SAME ntile SQL, proving the distributed rank
+# construction reproduces the global windows bit-for-bit.
+RFM_ORACLE = """
     WITH mx AS (SELECT max(o_orderdate) AS corpus_end FROM orders),
     base AS (
       SELECT o_custkey,
@@ -266,7 +296,12 @@ def dim_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN r_score >= 4 AND f_score >= 4 THEN 'at_risk'
                 ELSE 'regular' END AS segment
     FROM scored
-    """,
+    """
+
+
+@register(
+    "cust_rfm_segments",
+    oracle=RFM_ORACLE,
     tags=("analytics",),
 )
 def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,31 +315,11 @@ def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     of exact quantile ranks; at 100 TB you'd swap ntile for
     percentile-bucket joins against approx quantile boundaries
     (feat_bin_quantile, plans/mlq2.py, is that scale path) — this query
-    pins the exact semantics the approximation must converge to.
+    pins the exact semantics the approximation must converge to
+    (cust_rfm_segments_dist, plans/scalewinq.py, is that scale path —
+    it hash-matches this query's oracle with partitioned windows only).
     """
-    o = load_table(spark, sf_dir, "orders")
-    mx = o.agg(F.max("o_orderdate").alias("corpus_end"))
-    base = (
-        o.crossJoin(F.broadcast(mx))
-        .groupBy("o_custkey", "corpus_end")
-        .agg(
-            F.max("o_orderdate").alias("last_order"),
-            F.count("*").cast("bigint").alias("frequency"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
-            .cast("bigint")
-            .alias("monetary_cents"),
-        )
-        .select(
-            "o_custkey",
-            F.datediff(
-                F.col("corpus_end").cast("date"), F.col("last_order").cast("date")
-            )
-            .cast("bigint")
-            .alias("recency_days"),
-            "frequency",
-            "monetary_cents",
-        )
-    )
+    base = rfm_base(spark, sf_dir)
     scored = base.select(
         "*",
         F.ntile(5)

@@ -321,3 +321,82 @@ def stat_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("crit_05"),
     )
+
+
+from etl_caic_spark.plans.analytics5q import RFM_ORACLE, rfm_base  # noqa: E402
+
+
+@register(
+    "cust_rfm_segments_dist",
+    oracle=RFM_ORACLE,
+    tags=("analytics", "window", "scale"),
+)
+def cust_rfm_segments_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of cust_rfm_segments (plans/analytics5q.py): the three
+    GLOBAL ntile(5) windows — single-task sorts at 100 TB customer
+    counts — are replaced by three range-partitioned global ranks
+    (operators/prefix.py) plus ntile's bucket arithmetic as a scalar
+    expression, then joined back on the customer key. Hash-matches the
+    ORIGINAL oracle, proving the distributed construction reproduces
+    the global windows exactly.
+
+    Plan: customer-grain base computed once (localCheckpoint — reused
+    by all three rank branches without recomputing the orders scan),
+    3 range shuffles + partitioned windows + O(P) offset collects, a
+    broadcast single-row count, and two customer-key hash joins. No
+    unpartitioned WindowExec anywhere (plan-asserted by
+    tests/test_scalewin_twins.py)."""
+    base = rfm_base(spark, sf_dir).localCheckpoint()
+    n = base.agg(F.count("*").cast("bigint").alias("n_tot"))
+
+    def score(order_expr_cols: list, name: str) -> DataFrame:
+        src = base.select(
+            "o_custkey",
+            *[
+                c.alias(f"_o{i}")
+                for i, c in enumerate(order_expr_cols)
+            ],
+        )
+        oc = [f"_o{i}" for i in range(len(order_expr_cols))] + ["o_custkey"]
+        r = with_global_order(src, oc, rn_col="rn", num_partitions=16)
+        return r.crossJoin(F.broadcast(n)).select(
+            "o_custkey",
+            F.when(
+                F.col("rn") <= (F.col("n_tot") % 5) * (F.expr("n_tot div 5") + 1),
+                F.expr("(rn - 1) div (n_tot div 5 + 1) + 1"),
+            )
+            .otherwise(
+                F.expr(
+                    "n_tot % 5 + (rn - (n_tot % 5) * (n_tot div 5 + 1) - 1)"
+                    " div (n_tot div 5) + 1"
+                )
+            )
+            .cast("int")
+            .alias(name),
+        )
+
+    r_s = score([F.col("recency_days")], "r_score")
+    f_s = score([-F.col("frequency")], "f_score")
+    m_s = score([-F.col("monetary_cents")], "m_score")
+    scored = (
+        base.join(r_s, "o_custkey")
+        .join(f_s, "o_custkey")
+        .join(m_s, "o_custkey")
+        .select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            "r_score",
+            "f_score",
+            "m_score",
+        )
+    )
+    return scored.withColumn(
+        "segment",
+        F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")
+        .when(F.col("r_score") <= 2, "recent")
+        .when(F.col("f_score") <= 2, "loyal")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "at_risk")
+        .otherwise("regular"),
+    )

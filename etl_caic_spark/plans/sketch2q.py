@@ -245,8 +245,13 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals before ranking (pow's last-ulp may differ across engines;
     same freeze-then-compare precedent as the trig/ln oracles) with a
     doc_id tiebreak, making the sample fully reproducible — the property
-    a training run needs for data lineage. One scan, one top-k — no
-    shuffle beyond TakeOrdered at any scale."""
+    a training run needs for data lineage.
+
+    Scale: orderBy+limit compiles to TakeOrderedAndProject — per
+    partition O(n log k), only 50 rows reach the driver-side merge (the
+    sample_reservoir_k pattern, llm6.py). The rnk column is then a
+    row_number over the 50 surviving rows — a bounded single-partition
+    window, not a global one over the fact table."""
     d = load_table(spark, sf_dir, "documents")
     uni = (
         (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
@@ -258,8 +263,6 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.round(F.pow(uni, 1.0 / F.col("n_chars")), 12).alias("k"),
     )
+    top = keyed.orderBy(F.desc("k"), F.asc("doc_id")).limit(50)
     wk = Window.orderBy(F.desc("k"), F.asc("doc_id"))
-    return (
-        keyed.withColumn("rnk", F.row_number().over(wk).cast("int"))
-        .filter(F.col("rnk") <= 50)
-    )
+    return top.withColumn("rnk", F.row_number().over(wk).cast("int"))

@@ -24,6 +24,7 @@ PAIRS = [
     ("feat_quantile_normalize", "feat_quantile_normalize_dist"),
     ("dq_sequence_gaps", "dq_sequence_gaps_dist"),
     ("stat_ks_two_sample", "stat_ks_binned"),
+    ("cust_rfm_segments", "cust_rfm_segments_dist"),
 ]
 
 
@@ -40,6 +41,7 @@ def test_twin_matches_original(spark, sf_dir, orig, twin):
         "feat_bin_quantile_dist",
         "feat_quantile_normalize_dist",
         "dq_sequence_gaps_dist",
+        "cust_rfm_segments_dist",
     ],
 )
 def test_twin_windows_are_partitioned(spark, sf_dir, twin):
