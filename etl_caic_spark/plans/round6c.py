@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_caic_spark.operators.hashmix import md5_words, md5_words_sql, mix
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 
@@ -306,18 +307,24 @@ _BOOT_REPS = 20
 @register(
     "stat_bootstrap_ci",
     oracle=f"""
-    WITH reps AS (
-      SELECT unnest(generate_series(0, {_BOOT_REPS - 1})) AS rep
-    ), x AS (
+    WITH x AS (
       SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
              CAST(l_orderkey AS VARCHAR) || '-'
                || CAST(l_linenumber AS VARCHAR) AS rk
       FROM lineitem
+    ), words AS (
+      SELECT cents, {md5_words_sql("rk", "boot-v2")} FROM x
+    ), s AS (
+      SELECT rep, (5 * rep + 1) % 32 AS s1, (11 * rep + 17) % 32 AS s2
+      FROM (SELECT unnest(generate_series(0, {_BOOT_REPS - 1})) AS rep)
     ), h AS (
       SELECT rep, cents,
-             CAST(('0x' || substr(md5('boot-v1|' || CAST(rep AS VARCHAR)
-                  || '|' || rk), 1, 8)) AS BIGINT) AS hv
-      FROM x CROSS JOIN reps
+             xor(xor(w1,
+                 ((w2 & ((1::BIGINT << (32 - s1)) - 1)) << s1)
+                   + (w2 >> (32 - s1))),
+                 ((w3 & ((1::BIGINT << (32 - s2)) - 1)) << s2)
+                   + (w3 >> (32 - s2))) AS hv
+      FROM words CROSS JOIN s
     ), w AS (
       SELECT rep, cents,
              {" + ".join(f"CASE WHEN hv >= {t} THEN 1 ELSE 0 END" for t in _POIS_T)}
@@ -341,14 +348,16 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Chamandy et al., "Estimating Uncertainty for Massive Data
     Streams", the standard Spark/MapReduce bootstrap).
 
-    Weights are hash-derived — an md5 of (replicate, row key) compared
-    against the precomputed Poisson(1) CDF ladder scaled to 2^32 — so
-    both engines draw IDENTICAL resamples with no RNG state. The
-    replicate dimension expands in-pipeline (rows x 20 before the
-    partial aggregate, which collapses each partition to 20 rows), so
-    shuffle volume is 20 rows/partition regardless of input size. The
-    percentile CI is read off the 20 ordered replicate means."""
-    reps = spark.range(_BOOT_REPS).select(F.col("id").alias("rep"))
+    Weights are hash-derived with ONE md5 per row: the digest's three
+    32-bit words seed the rotate-XOR replicate mixer
+    (operators/hashmix.py) and each hv_r is compared against the
+    precomputed Poisson(1) CDF ladder scaled to 2^32 — both engines
+    draw IDENTICAL resamples with no RNG state, at 1/20th the prior
+    hashing cost (round-6 verdict item 7). No replicate row expansion
+    at all: the 20 (n_eff, sum) pairs are 40 columns of ONE aggregate
+    pass (map-side partial -> single combined row), unpivoted to 20
+    rows afterwards. Shuffle volume is one row per partition
+    regardless of input size."""
     x = load_table(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
         F.concat(
@@ -357,40 +366,39 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").cast("string"),
         ).alias("rk"),
     )
-    h = x.crossJoin(F.broadcast(reps)).select(
-        "rep",
-        "cents",
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("boot-v1|"),
-                        F.col("rep").cast("string"),
-                        F.lit("|"),
-                        F.col("rk"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
+    w1, w2, w3 = md5_words(F.col("rk"), "boot-v2")
+    rows = x.select("cents", w1.alias("w1"), w2.alias("w2"), w3.alias("w3"))
+    aggs = []
+    for r in range(_BOOT_REPS):
+        hv = mix(F.col("w1"), F.col("w2"), F.col("w3"), r)
+        wt = sum(
+            (F.when(hv >= t, 1).otherwise(0) for t in _POIS_T), F.lit(0)
         )
-        .cast("bigint")
-        .alias("hv"),
-    )
-    wt = sum(
-        (F.when(F.col("hv") >= t, 1).otherwise(0) for t in _POIS_T),
-        F.lit(0),
-    )
-    w = h.select("rep", "cents", wt.alias("wt"))
-    return w.groupBy("rep").agg(
-        F.sum("wt").cast("bigint").alias("n_eff"),
-        F.sum(F.col("wt") * F.col("cents")).cast("bigint").alias("sum_cents"),
+        aggs.append(F.sum(wt).cast("bigint").alias(f"ne_{r}"))
+        aggs.append(
+            F.sum(wt * F.col("cents")).cast("bigint").alias(f"sc_{r}")
+        )
+    one = rows.agg(*aggs)
+    reps = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("bigint").alias("rep"),
+                        F.col(f"ne_{r}").alias("n_eff"),
+                        F.col(f"sc_{r}").alias("sum_cents"),
+                    )
+                    for r in range(_BOOT_REPS)
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    return reps.select(
+        "rep",
+        "n_eff",
+        "sum_cents",
         F.round(
-            F.sum(F.col("wt") * F.col("cents")).cast("bigint")
-            / (F.sum("wt").cast("bigint") * F.lit(100.0)),
-            4,
+            F.col("sum_cents") / (F.col("n_eff") * F.lit(100.0)), 4
         ).alias("mean_rep"),
     )
 
