@@ -1,7 +1,8 @@
 """One-hash-per-row replicate mixer for the resampling family.
 
-stat_bootstrap_ci / stat_permutation_test originally hashed every row
-once PER replicate (rows x 20 md5 calls — 6% of the whole bench). The
+stat_bootstrap_ci (round6c.py) and stat_permutation_test (round6d.py)
+— both migrated as of round 8 — originally hashed every row once PER
+replicate (rows x 20 md5 calls — 6% of the whole bench). The
 replicate dimension doesn't need fresh entropy per draw: md5 yields 128
 bits, three 32-bit words of which seed a rotate-XOR mixer
 
@@ -18,6 +19,11 @@ twin both engines can evaluate bit-identically in pure SQL.
 
 Every operation stays in 64-bit-safe integer range: rot32 masks to the
 low 32-s bits before shifting left, so no intermediate exceeds 2^32.
+
+The SQL twins (md5_words_sql / mix_sql) are the DuckDB-side mirror;
+oracles may inline the rotation with s1/s2 as CTE columns instead of
+calling mix_sql per replicate — tests/test_hashmix.py pins the two
+forms to bit-identical draws either way.
 """
 
 from __future__ import annotations

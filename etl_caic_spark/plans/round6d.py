@@ -20,6 +20,7 @@ from etl_caic_spark.plans.round6b import (
     _lpa_round_sql,
     lpa_communities,
 )
+from etl_caic_spark.operators.hashmix import md5_words, md5_words_sql, mix
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 
@@ -532,21 +533,26 @@ _PERM_R = 19
              CAST(l_orderkey AS VARCHAR) || '-'
                || CAST(l_linenumber AS VARCHAR) AS rk
       FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ), words AS (
+      SELECT q, in_a, {md5_words_sql("rk", "perm-v2")} FROM b
     ), tot AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(in_a) AS BIGINT) AS n1
       FROM b
-    ), perms AS (
-      SELECT unnest(generate_series(0, {_PERM_R})) AS perm
+    ), s AS (
+      SELECT perm, (5 * perm + 1) % 32 AS s1, (11 * perm + 17) % 32 AS s2
+      FROM (SELECT unnest(generate_series(0, {_PERM_R})) AS perm)
     ), assigned AS (
       SELECT perm, q,
              CASE WHEN perm = 0 THEN in_a
-                  WHEN CAST(('0x' || substr(md5('perm-v1|'
-                       || CAST(perm AS VARCHAR) || '|' || rk), 1, 8))
-                       AS BIGINT)
+                  WHEN xor(xor(w1,
+                       ((w2 & ((1::BIGINT << (32 - s1)) - 1)) << s1)
+                         + (w2 >> (32 - s1))),
+                       ((w3 & ((1::BIGINT << (32 - s2)) - 1)) << s2)
+                         + (w3 >> (32 - s2)))
                      < (n1 * 4294967296) // n THEN 1
                   ELSE 0 END AS a
-      FROM b CROSS JOIN perms CROSS JOIN tot
+      FROM words CROSS JOIN s CROSS JOIN tot
     ), stats AS (
       SELECT perm,
              CAST(sum(a) AS BIGINT) AS n_a,
@@ -574,16 +580,26 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Randomization (approximate permutation) test for the quantity
     mean difference between the 'A' and 'R' populations: 19 label
     reshuffles, each assigning rows to pseudo-group A with probability
-    n1/n via a hash threshold (exact integer n1*2^32/n — no float
-    probability), plus the observed labeling as permutation 0. The
-    p-value is (1 + #{|diff_r| >= |diff_obs|}) / (R+1), the standard
-    add-one Monte Carlo estimate. Binomial group sizes (rather than
-    exactly n1) make this the large-sample randomization variant —
-    the only version that needs no global shuffle of labels.
+    n1/n via a hash threshold (exact integer `(n1 * 2^32) div n` —
+    integer division on both engines, so no double-mantissa boundary
+    flips; exact while n1 < 2^31, i.e. up to ~sf500), plus the observed
+    labeling as permutation 0. The p-value is the standard add-one
+    Monte Carlo estimate (1 + #{|diff_r| >= |diff_obs|}) / (R+1).
+    Binomial group sizes (rather than exactly n1) make this the
+    large-sample randomization variant — the only version that needs
+    no global shuffle of labels.
 
-    Same single-scan shape as stat_bootstrap_ci: the permutation
-    dimension expands in-pipeline and partial aggregation collapses
-    each partition to R+1 rows; the p-value tail is a 20-row window."""
+    Round-8 rewrite (r7 verdict asks #2/#3): ONE md5 per row — the
+    digest's three 32-bit words seed the rotate-XOR replicate mixer
+    (operators/hashmix.py), replacing the 20-md5 ladder — and ZERO row
+    expansion: all 19 permuted (n_a, sum_aq) pairs plus the observed
+    pair are 40 columns of a single aggregate pass (map-side partial
+    -> one combined row), so shuffle volume is one row per partition
+    regardless of input size. The diffs, observed |diff|, and p-value
+    are then scalar expressions over that single row, unpivoted to the
+    20 output rows at the end. The DuckDB oracle keeps the row-expanded
+    formulation (clearer in SQL, identical semantics) with the mixer
+    inlined exactly as stat_bootstrap_ci's oracle does."""
     b = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_returnflag").isin("A", "R"))
@@ -597,92 +613,81 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rk"),
         )
     )
+    w1, w2, w3 = md5_words(F.col("rk"), "perm-v2")
+    rows = b.select(
+        "q", "in_a", w1.alias("w1"), w2.alias("w2"), w3.alias("w3")
+    )
     tot = b.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("in_a").cast("bigint").alias("n1"),
     )
-    perms = spark.range(_PERM_R + 1).select(F.col("id").alias("perm"))
-    hv = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("perm-v1|"),
-                    F.col("perm").cast("string"),
-                    F.lit("|"),
-                    F.col("rk"),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    thr = F.floor(
-        (F.col("n1") * F.lit(4294967296)) / F.col("n")
-    ).cast("bigint")
-    assigned = (
-        b.crossJoin(F.broadcast(perms))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "perm",
-            "q",
-            F.when(F.col("perm") == 0, F.col("in_a"))
-            .when(hv < thr, 1)
-            .otherwise(0)
-            .alias("a"),
+    joined = rows.crossJoin(F.broadcast(tot))
+    thr = F.expr("(n1 * 4294967296) div n")
+    aggs = []
+    for r in range(_PERM_R + 1):
+        if r == 0:
+            a = F.col("in_a")
+        else:
+            hv = mix(F.col("w1"), F.col("w2"), F.col("w3"), r)
+            a = F.when(hv < thr, 1).otherwise(0)
+        aggs.append(F.sum(a).cast("bigint").alias(f"na_{r}"))
+        aggs.append(
+            F.sum(a * F.col("q")).cast("bigint").alias(f"saq_{r}")
         )
-    )
-    stats = assigned.groupBy("perm").agg(
-        F.sum("a").cast("bigint").alias("n_a"),
-        (F.count("*") - F.sum("a")).cast("bigint").alias("n_b"),
-        F.round(
-            (
-                F.sum(F.col("a") * F.col("q")) * F.lit(1.0) / F.sum("a")
-                - F.sum((F.lit(1) - F.col("a")) * F.col("q"))
-                * F.lit(1.0)
-                / (F.count("*") - F.sum("a"))
-            )
-            * F.lit(1000000.0)
-        )
-        .cast("bigint")
-        .alias("diff_micro"),
-    )
-    stats = stats.localCheckpoint()  # 20 rows; reused by obs/pv/output
-    obs = stats.agg(
-        F.max(F.when(F.col("perm") == 0, F.abs(F.col("diff_micro"))))
-        .cast("bigint")
-        .alias("obs_abs")
-    )
-    pv = (
-        stats.crossJoin(F.broadcast(obs))
-        .agg(
+    aggs.append(F.count("*").cast("bigint").alias("n_all"))
+    aggs.append(F.sum("q").cast("bigint").alias("sq_all"))
+    one = joined.agg(*aggs)
+
+    def diff_micro(r: int):
+        na = F.col(f"na_{r}")
+        saq = F.col(f"saq_{r}")
+        return (
             F.round(
                 (
-                    F.lit(1.0)
-                    + F.sum(
-                        F.when(
-                            (F.col("perm") > 0)
-                            & (
-                                F.abs(F.col("diff_micro"))
-                                >= F.col("obs_abs")
-                            ),
-                            1,
-                        ).otherwise(0)
-                    )
+                    saq * F.lit(1.0) / na
+                    - (F.col("sq_all") - saq)
+                    * F.lit(1.0)
+                    / (F.col("n_all") - na)
                 )
-                / F.lit(float(_PERM_R + 1)),
-                6,
-            ).alias("p_value")
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
         )
+
+    one = one.select(
+        "*", *[diff_micro(r).alias(f"d_{r}") for r in range(_PERM_R + 1)]
     )
-    return stats.crossJoin(F.broadcast(pv)).select(
-        F.col("perm").cast("int").alias("perm"),
-        "n_a",
-        "n_b",
-        "diff_micro",
-        "p_value",
+    exceed = sum(
+        (
+            F.when(F.abs(F.col(f"d_{r}")) >= F.abs(F.col("d_0")), 1).otherwise(0)
+            for r in range(1, _PERM_R + 1)
+        ),
+        F.lit(0),
     )
+    one = one.select(
+        "*",
+        F.round((F.lit(1.0) + exceed) / F.lit(float(_PERM_R + 1)), 6).alias(
+            "p_value"
+        ),
+    )
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("perm"),
+                        F.col(f"na_{r}").alias("n_a"),
+                        (F.col("n_all") - F.col(f"na_{r}"))
+                        .cast("bigint")
+                        .alias("n_b"),
+                        F.col(f"d_{r}").alias("diff_micro"),
+                        F.col("p_value").alias("p_value"),
+                    )
+                    for r in range(_PERM_R + 1)
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
 
 
 @register(
