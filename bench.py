@@ -29,6 +29,15 @@ def run_once(spark, spec, sf_dir: str) -> float:
 
 
 def main() -> None:
+    # --round N pins the BENCH_FULL_r{N}.json archive name; without it the
+    # round is inferred from the driver's BENCH_r{N}.json artifacts (the
+    # run belongs to the round AFTER the latest recorded one) — inference
+    # misattributes ad-hoc re-runs made after the driver's own bench, so
+    # scripted runs should pass the flag (round-7 ADVICE item).
+    round_arg: int | None = None
+    argv = sys.argv[1:]
+    if "--round" in argv:
+        round_arg = int(argv[argv.index("--round") + 1])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -153,12 +162,15 @@ def main() -> None:
     # unrecoverable). The round number is inferred from the driver's own
     # BENCH_r{N}.json artifacts: the run belongs to the round AFTER the
     # latest recorded one. tools/bench_regressions.py diffs two archives.
-    rounds = [
-        int(m.group(1))
-        for f in os.listdir(repo)
-        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
-    ]
-    this_round = (max(rounds) + 1) if rounds else 1
+    if round_arg is not None:
+        this_round = round_arg
+    else:
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(repo)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+        ]
+        this_round = (max(rounds) + 1) if rounds else 1
     with open(
         os.path.join(repo, f"BENCH_FULL_r{this_round:02d}.json"), "w"
     ) as fh:

@@ -52,11 +52,16 @@ def kth_smallest(df: DataFrame, col: str, k: int) -> int:
         cells = (
             df.filter((c >= lo) & (c <= hi))
             # integer DIV, not float division: (c - lo) can exceed the
-            # 2^53 double mantissa on a full bigint domain
+            # 2^53 double mantissa on a full bigint domain — and the
+            # subtraction itself rides in DECIMAL(38,0) because
+            # (c - lo) overflows int64 outright when lo is deeply
+            # negative on a full-width domain (round-7 ADVICE item);
+            # the DIV result is a cell index < CELLS, safely bigint
             .groupBy(
-                F.expr(f"(CAST(`{col}` AS BIGINT) - {lo}) DIV {width}").alias(
-                    "cell"
-                )
+                F.expr(
+                    f"CAST((CAST(`{col}` AS DECIMAL(38,0))"
+                    f" - CAST({lo} AS DECIMAL(38,0))) DIV {width} AS BIGINT)"
+                ).alias("cell")
             )
             .count()
             .collect()

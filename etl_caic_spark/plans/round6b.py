@@ -443,8 +443,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Edge rule (planted-partition sparsifier): consecutive-event user
     pairs (lag per event_type) are counted; a pair becomes an edge when
-    the users share a nation (homophily edges, via the customer dim)
-    OR co-occur >= 5 times (strong cross-community ties). The raw
+    BOTH endpoint user_ids are customer keys (inner joins to the
+    customer dim — non-customer event users are dropped regardless of
+    co-occurrence count) AND the users either share a nation (homophily
+    edges) or co-occur >= 5 times (strong cross-community ties). The raw
     consecutive-pair graph is near-complete at any density (avg degree
     ~n), so every partition scores modularity ~0 on it; restricting to
     same-market + heavy pairs yields a graph whose community structure

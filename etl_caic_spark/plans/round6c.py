@@ -718,9 +718,11 @@ def ml_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.v
     ), sc AS (
       SELECT t, nl, n - nl AS nr, pl, p - pl AS pr,
-             pl * pl + (nl - pl) * (nl - pl) AS a_sq,
-             (p - pl) * (p - pl)
-               + ((n - nl) - (p - pl)) * ((n - nl) - (p - pl)) AS b_sq,
+             CAST(pl AS HUGEINT) * pl
+               + CAST(nl - pl AS HUGEINT) * (nl - pl) AS a_sq,
+             CAST(p - pl AS HUGEINT) * (p - pl)
+               + CAST((n - nl) - (p - pl) AS HUGEINT)
+                 * ((n - nl) - (p - pl)) AS b_sq,
              n
       FROM splits CROSS JOIN tot
       WHERE nl > 0 AND n - nl > 0
@@ -740,7 +742,9 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted-Gini table the tree builder would argmin over. The best
     split maximizes purity = A/nl + B/nr (A, B = sums of squared class
     counts left/right) — emitted cross-multiplied and micro-frozen
-    ((A*nr + B*nl)/(nl*nr)) so the ordering is engine-exact.
+    ((A*nr + B*nl)/(nl*nr)) so the ordering is engine-exact. A and B
+    accumulate in DECIMAL(38,0)/HUGEINT (A*nr ~ n^3 exceeds int64 past
+    n ~ 2e6 rows), the same exact-integer ladder as the OLS siblings.
 
     The distributed-training shape: one groupBy collapses the fact
     table to per-value class counts (|support| rows), and every split's
@@ -785,15 +789,20 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p") - F.col("pl")).alias("pr"),
             "n",
         )
+        # squared class counts ride in DECIMAL(38,0) (the sibling
+        # ladder): a_sq*nr ~ n^3 overflows int64 past n ~ 2e6 rows
+        # (round-7 ADVICE item); decimal keeps it exact to ~1e38
         .withColumn(
             "a_sq",
-            F.col("pl") * F.col("pl")
-            + (F.col("nl") - F.col("pl")) * (F.col("nl") - F.col("pl")),
+            F.col("pl").cast("decimal(38,0)") * F.col("pl")
+            + (F.col("nl") - F.col("pl")).cast("decimal(38,0)")
+            * (F.col("nl") - F.col("pl")),
         )
         .withColumn(
             "b_sq",
-            F.col("pr") * F.col("pr")
-            + (F.col("nr") - F.col("pr")) * (F.col("nr") - F.col("pr")),
+            F.col("pr").cast("decimal(38,0)") * F.col("pr")
+            + (F.col("nr") - F.col("pr")).cast("decimal(38,0)")
+            * (F.col("nr") - F.col("pr")),
         )
     )
     return sc.select(

@@ -366,9 +366,13 @@ def cust_rfm_segments_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("(rn - 1) div (n_tot div 5 + 1) + 1"),
             )
             .otherwise(
+                # greatest(.., 1) guards the n_tot < 5 degenerate case:
+                # there the when-branch already covers every rn, but an
+                # un-guarded div-by-zero would break under ANSI mode
+                # (round-7 ADVICE item)
                 F.expr(
                     "n_tot % 5 + (rn - (n_tot % 5) * (n_tot div 5 + 1) - 1)"
-                    " div (n_tot div 5) + 1"
+                    " div greatest(n_tot div 5, 1) + 1"
                 )
             )
             .cast("int")

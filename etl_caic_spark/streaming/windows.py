@@ -53,11 +53,20 @@ def cached_event_shards(spark: SparkSession, sf_dir: str, name: str, writer):
     pure fixed cost (same bytes every run), so repeated replays
     (correctness pass, bench, tests) shouldn't pay the write again.
     ``writer(path)`` produces the parquet dir; a _SUCCESS marker gates
-    reuse. Keyed by the sf_dir basename so sf0.01 and sf0.1 never share
-    a cache entry."""
+    reuse. Keyed by the sf_dir basename (so sf0.01 and sf0.1 never
+    share a cache entry) AND a fingerprint of the source fixture
+    (events.parquet size + mtime): if the driver regenerates the
+    fixture, the key changes and the stale shards are rebuilt instead
+    of silently replayed (round-7 ADVICE item)."""
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = scratch_path(f"{name}_{tag}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size:x}-{st.st_mtime_ns:x}"
+    except OSError:
+        fp = None  # non-standard fixture layout: never reuse
+    path = scratch_path(f"{name}_{tag}_{fp or 'nofp'}")
+    if fp is None or not os.path.exists(os.path.join(path, "_SUCCESS")):
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)

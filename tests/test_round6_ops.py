@@ -32,6 +32,20 @@ def test_kth_smallest_matches_sorted_reference(spark):
         assert kth_smallest(df, "x", k) == ordered[k - 1], f"k={k}"
 
 
+def test_kth_smallest_full_width_bigint_domain(spark):
+    """Round-7 ADVICE regression: on a full-width int64 domain the
+    first bisection round's (c - lo) offset overflows bigint; the
+    DECIMAL(38,0) ladder must keep the cell walk exact."""
+    from etl_caic_spark.operators.selection import kth_smallest
+
+    lo, hi = -(2**63), 2**63 - 1
+    vals = [lo, lo + 1, -17, 0, 3, 99, 2**62, hi - 1, hi]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    ordered = sorted(vals)
+    for k in (1, 3, 5, len(vals)):
+        assert kth_smallest(df, "x", k) == ordered[k - 1], f"k={k}"
+
+
 def test_kth_smallest_single_value_domain(spark):
     from etl_caic_spark.operators.selection import kth_smallest
 

@@ -19,7 +19,9 @@ import re
 import sys
 
 REGRESSION_FACTOR = 1.5
-MIN_SECONDS = 0.5  # ignore sub-half-second jitter
+# Ignore sub-second queries entirely: six of the nine r7 flags were
+# 0.3-0.7 s scheduler jitter on ~0.3 s queries (round-7 verdict ask #8).
+MIN_SECONDS = 1.0
 
 
 def main() -> None:
