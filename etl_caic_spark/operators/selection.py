@@ -47,22 +47,29 @@ def kth_smallest(df: DataFrame, col: str, k: int) -> int:
     if k > n:
         raise ValueError(f"k={k} exceeds row count {n}")
     c = F.col(col)
+    _I64_MAX = (1 << 63) - 1
     while hi - lo + 1 > CELLS:
         width = -((hi - lo + 1) // -CELLS)  # ceil-div
+        # integer DIV, not float division: (c - lo) can exceed the
+        # 2^53 double mantissa on a full bigint domain. The subtraction
+        # itself overflows int64 outright only when lo is deeply
+        # negative on a near-full-width domain (round-7 ADVICE item) —
+        # and we KNOW the exact domain width here (driver-side Python
+        # bignums), so pay the DECIMAL(38,0) BigDecimal tax per row
+        # only in that case; every narrower round (including all rounds
+        # after the first, whose width is <= CELLS^-1 of the domain)
+        # rides fast codegen'd bigint arithmetic. The DIV result is a
+        # cell index < CELLS, safely bigint either way.
+        if hi - lo > _I64_MAX:
+            cell_expr = F.expr(
+                f"CAST((CAST(`{col}` AS DECIMAL(38,0))"
+                f" - CAST({lo} AS DECIMAL(38,0))) DIV {width} AS BIGINT)"
+            )
+        else:
+            cell_expr = F.expr(f"(`{col}` - CAST({lo} AS BIGINT)) DIV {width}")
         cells = (
             df.filter((c >= lo) & (c <= hi))
-            # integer DIV, not float division: (c - lo) can exceed the
-            # 2^53 double mantissa on a full bigint domain — and the
-            # subtraction itself rides in DECIMAL(38,0) because
-            # (c - lo) overflows int64 outright when lo is deeply
-            # negative on a full-width domain (round-7 ADVICE item);
-            # the DIV result is a cell index < CELLS, safely bigint
-            .groupBy(
-                F.expr(
-                    f"CAST((CAST(`{col}` AS DECIMAL(38,0))"
-                    f" - CAST({lo} AS DECIMAL(38,0))) DIV {width} AS BIGINT)"
-                ).alias("cell")
-            )
+            .groupBy(cell_expr.alias("cell"))
             .count()
             .collect()
         )
