@@ -83,3 +83,18 @@ def test_gopher_rules_all_live(spark, sf_dir):
     ):
         assert row[c] > 0, c
     assert row["n_pass"] < row["n_docs"]
+
+
+def test_hll_accuracy_and_merge(spark, sf_dir):
+    rows = {r["grp"]: r for r in
+            SPECS["sketch_hll_distinct"].fn(spark, sf_dir).collect()}
+    assert "__all__" in rows and len(rows) == 4
+    for grp, r in rows.items():
+        err = abs(r["est_distinct"] - r["exact_distinct"]) / r["exact_distinct"]
+        # m = 256 registers -> ~6.5% standard error; 3 sigma bound.
+        assert err < 0.20, (grp, err)
+    # Merged registers estimate the union, which is at least as large as
+    # any constituent group's estimate.
+    assert rows["__all__"]["est_distinct"] >= max(
+        r["est_distinct"] for g, r in rows.items() if g != "__all__"
+    )
