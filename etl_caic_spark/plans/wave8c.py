@@ -275,8 +275,14 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan per round: two hash joins (edges against the score frame, keyed
     src then dst) + two map-side-combinable groupBys + one broadcast
-    scalar max. At 100 TB: edges cache hash-partitioned once and every
-    round's shuffle is linear in |E| — the pagerank profile. Integer
+    scalar max. Unlike pagerank (whose rounds chain lazily into one
+    job), each renormalization embeds a scalar-max subquery, so the
+    score frame is localCheckpoint-ed per half-step — otherwise every
+    max re-executes the entire upstream lineage and the 6 half-steps go
+    super-linear (observed 21.6 s -> ~2 s at sf0.1). At 100 TB: edges
+    checkpoint hash-partitioned once and every round's shuffle is linear
+    in |E| — the pagerank profile plus one O(|V|) max per half-step.
+    Integer
     headroom: sum <= deg_max * 1e6, and the *1e6 renormalization
     multiply happens in DOUBLE, so there is no bigint overflow at any
     degree; past deg_max ~ 1e9 the product exceeds 2^53 and the
@@ -290,17 +296,25 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         seq.filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
         .distinct()
+        .localCheckpoint()  # 12 join consumers across the 3 rounds
     )
     nodes = (
         edges.select(F.col("src").alias("v"))
         .unionAll(edges.select(F.col("dst").alias("v")))
         .distinct()
+        .localCheckpoint()
     )
     h = nodes.select("v", F.lit(_HITS_UNIT).cast("bigint").alias("h"))
 
     def normalize(frame: DataFrame, col: str) -> DataFrame:
-        filled = nodes.join(frame, "v", "left").select(
-            "v", F.coalesce(F.col(col), F.lit(0)).cast("bigint").alias(col)
+        # Cut lineage BEFORE the scalar-max subquery: the max's broadcast
+        # subplan otherwise re-executes every preceding half-step.
+        filled = (
+            nodes.join(frame, "v", "left")
+            .select(
+                "v", F.coalesce(F.col(col), F.lit(0)).cast("bigint").alias(col)
+            )
+            .localCheckpoint()
         )
         mx = filled.agg(F.max(col).alias("m"))
         return filled.crossJoin(F.broadcast(mx)).select(
@@ -353,7 +367,7 @@ _BLEU_SQL = """
         SELECT pair_id, side, ws[i] || ' ' || ws[i + 1] AS g
         FROM (SELECT pair_id, side, ws,
                      unnest(generate_series(1, len(ws) - 1)) AS i
-              FROM pairs)
+              FROM pairs WHERE len(ws) >= 2)
       ) GROUP BY 1, 2, 3
     ),
     clip1 AS (
@@ -425,7 +439,11 @@ def eval_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("c"))
     )
     bi = (
-        pairs.select(
+        # size >= 2 guard on BOTH engines: Spark's sequence(1, 0) yields
+        # [1, 0] (descending), not empty — a 1-token doc would emit two
+        # null grams here while DuckDB's generate_series emits none.
+        pairs.filter(F.size("ws") >= 2)
+        .select(
             "pair_id",
             "side",
             F.explode(
