@@ -103,6 +103,8 @@ from etl_caic_spark.plans import wave8d  # noqa: F401,E402
 from etl_caic_spark.plans import wave8e  # noqa: F401,E402
 from etl_caic_spark.plans import wave8f  # noqa: F401,E402
 from etl_caic_spark.plans import wave8g  # noqa: F401,E402
+from etl_caic_spark.plans import wave8h  # noqa: F401,E402
+from etl_caic_spark.plans import wave8i  # noqa: F401,E402
 
 # Round-8 rotation (r7 verdict ask #1): burn down the 178-query
 # never-driver-verified debt, heaviest-evidence-gap first. The window is

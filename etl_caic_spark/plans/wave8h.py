@@ -1,0 +1,334 @@
+"""Round-8 wave H: dedup-quality audit, hysteresis alerting, token
+budgeting.
+
+- ``eval_minhash_quality``: the dedup AUDIT — precision/recall of the
+  MinHash+LSH candidate pairs (the exact md5 construction of
+  dedup_minhash_md5, operators/dedup.py:222) against ground truth
+  computed exactly. The truth predicate J >= 1/2 is evaluated in pure
+  integers: J = i/(a+b-i) >= 1/2  <=>  3i >= a+b — no float ever enters
+  the truth set, and the two published rates are one rounded division
+  each.
+- ``ts_hysteresis_alerts``: two-threshold (Schmitt-trigger) alerting —
+  a user enters the alert state when value >= 400, leaves only when
+  value <= 50; between thresholds the PREVIOUS state holds. The hold
+  is last(crossing, ignorenulls) over the ordered per-user window —
+  the relational form of the sequential state machine, identical on
+  both engines (DuckDB: last_value(x IGNORE NULLS)).
+- ``data_token_budget_pack``: greedy per-source token budgeting: order
+  docs by (quality proxy, key), keep while the PREVIOUS cumulative
+  token count is under the budget — so the first overflowing doc is
+  kept (standard knapsack-greedy convention) and the kept set is a
+  prefix of a deterministic order. One partitioned cumulative window.
+
+Reference parity: none of this exists in the reference — SURVEY §2.C
+extension mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_caic_spark.operators import dedup as D
+from etl_caic_spark.registry import register
+from etl_caic_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# eval_minhash_quality
+# --------------------------------------------------------------------------
+
+_MINHASH_CAND_CTES = """
+    w AS (
+      SELECT doc_id AS doc, string_split(text, ' ') AS words FROM documents
+    ),
+    sh AS (
+      SELECT doc, unnest(list_distinct(list_transform(
+               generate_series(0, greatest(len(words) - 3, 0)),
+               i -> array_to_string(list_slice(words, i + 1, i + 3), ' ')
+             ))) AS shingle
+      FROM w
+    ),
+    mins AS (
+      SELECT doc, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h
+      FROM sh, generate_series(0, 15) t(j)
+      GROUP BY doc, j
+    ),
+    sig AS (
+      SELECT doc, list(h ORDER BY j) AS sig FROM mins GROUP BY doc
+    ),
+    banded AS (
+      SELECT doc, b AS band_idx,
+             md5(array_to_string(list_slice(sig, b*2 + 1, b*2 + 2), ','))
+               AS band_hash
+      FROM sig, generate_series(0, 7) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc < b.doc
+    ),
+    kept AS (
+      SELECT doc_a, doc_b
+      FROM cand
+      JOIN sig sa ON sa.doc = doc_a
+      JOIN sig sb ON sb.doc = doc_b
+      WHERE list_sum(list_transform(generate_series(1, 16),
+              i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16
+            >= 0.5
+    )
+"""
+
+_MINHASH_QUALITY_SQL = f"""
+    WITH {_MINHASH_CAND_CTES},
+    sizes AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1
+    ),
+    inter AS (
+      SELECT x.doc AS doc_a, y.doc AS doc_b, CAST(count(*) AS BIGINT) AS i
+      FROM sh x JOIN sh y ON y.shingle = x.shingle AND x.doc < y.doc
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes A ON A.doc = doc_a
+      JOIN sizes B ON B.doc = doc_b
+      WHERE 3 * i >= A.sz + B.sz
+    ),
+    m AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+             (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_cand,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM kept k JOIN truth t
+                ON t.doc_a = k.doc_a AND t.doc_b = k.doc_b) AS n_tp
+    )
+    SELECT n_truth, n_cand, n_tp,
+           CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(round(n_tp * 1000000.0 / n_cand) AS BIGINT)
+           END AS precision_micro,
+           CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(round(n_tp * 1000000.0 / n_truth) AS BIGINT)
+           END AS recall_micro
+    FROM m
+"""
+
+
+@register(
+    "eval_minhash_quality", oracle=_MINHASH_QUALITY_SQL, tags=("dedup", "eval", "llm")
+)
+def eval_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall audit of the MinHash+LSH deduper against exact
+    ground truth, in one query: candidates are dedup_minhash_md5's
+    pairs (16 md5 signatures, 8 bands, est_jaccard >= 0.5); truth is
+    every pair with EXACT 3-shingle Jaccard >= 1/2, decided in pure
+    integer arithmetic (3*|A∩B| >= |A|+|B| — see module docstring).
+    Published rates are one rounded division each; tp/cand/truth counts
+    ride along for auditability.
+
+    Plan shape: the candidate leg is the bucketed LSH join (never
+    all-pairs); the truth leg is an inverted-index self-join on shingle
+    — exact, so NO df-cap: shared-shingle buckets are the quadratic
+    hazard, which is exactly why the truth leg is the audit you run on
+    a SAMPLE at 100 TB (stratify doc_ids, the same query) while the
+    candidate leg runs on the full corpus. Counts reduce to one row."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = D.minhash_lsh_pairs_md5(
+        d, "doc_id", "text", num_hashes=16, bands=8, k=3, threshold=0.5
+    ).select("doc_a", "doc_b")
+    sh = d.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(D.word_shingles(F.col("text"), 3)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").cast("bigint").alias("sz"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    inter = (
+        x.join(y, (F.col("y.shingle") == F.col("x.shingle")) & (F.col("x.doc") < F.col("y.doc")))
+        .groupBy(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .agg(F.count("*").cast("bigint").alias("i"))
+    )
+    truth = (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+        .filter(3 * F.col("i") >= F.col("sza") + F.col("szb"))
+        .select("doc_a", "doc_b")
+    )
+    n_truth = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    n_cand = kept.agg(F.count("*").cast("bigint").alias("n_cand"))
+    n_tp = kept.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count("*").cast("bigint").alias("n_tp")
+    )
+    m = n_truth.crossJoin(n_cand).crossJoin(n_tp)
+    rate = lambda num, den: F.when(  # noqa: E731
+        F.col(den) == 0, F.lit(0).cast("bigint")
+    ).otherwise(F.round(F.col(num) * 1000000.0 / F.col(den)).cast("bigint"))
+    return m.select(
+        "n_truth",
+        "n_cand",
+        "n_tp",
+        rate("n_tp", "n_cand").alias("precision_micro"),
+        rate("n_tp", "n_truth").alias("recall_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ts_hysteresis_alerts
+# --------------------------------------------------------------------------
+
+_HYST_HI = 400.0
+_HYST_LO = 50.0
+
+_HYST_SQL = f"""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      FROM events
+    ),
+    crossed AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value >= {_HYST_HI} THEN 'on'
+                  WHEN value <= {_HYST_LO} THEN 'off'
+                  ELSE NULL END AS crossing
+      FROM ev
+    ),
+    held AS (
+      SELECT user_id,
+             coalesce(last_value(crossing IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING), 'off') AS state,
+             coalesce(last_value(crossing IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'off')
+               AS prev_state
+      FROM crossed
+    )
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE state = 'on') AS BIGINT)
+             AS rows_in_alert,
+           CAST(count(*) FILTER (WHERE state = 'on' AND prev_state = 'off')
+                AS BIGINT) AS n_episodes,
+           max(state = 'on') AS currently_on
+    FROM held
+    GROUP BY 1
+"""
+
+
+@register("ts_hysteresis_alerts", oracle=_HYST_SQL, tags=("timeseries", "window"))
+def ts_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-threshold hysteresis (Schmitt-trigger) alerting per user:
+    value >= {_HYST_HI} arms the alert, value <= {_HYST_LO} disarms it,
+    anything between HOLDS the previous state — the debounce that stops
+    single-threshold alerting from flapping. The sequential state
+    machine compiles to last(crossing, ignorenulls) over the ordered
+    per-user window (initial state 'off'); an episode starts on an
+    off->on transition of the held state.
+
+    Plan shape: one scan, one hash-partitioned window (user_id), one
+    groupBy — the standard windowed-feature cost, no iteration, no
+    Python. At 100 TB: same single shuffle; the two window passes share
+    one sort."""
+    ev = load_table(spark, sf_dir, "events")
+    crossing = F.when(F.col("value") >= _HYST_HI, F.lit("on")).when(
+        F.col("value") <= _HYST_LO, F.lit("off")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cur = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    held = ev.select(
+        "user_id",
+        F.coalesce(F.last(crossing, ignorenulls=True).over(cur), F.lit("off")).alias(
+            "state"
+        ),
+        F.coalesce(F.last(crossing, ignorenulls=True).over(prev), F.lit("off")).alias(
+            "prev_state"
+        ),
+    )
+    return held.groupBy("user_id").agg(
+        F.sum(F.when(F.col("state") == "on", 1).otherwise(0))
+        .cast("bigint")
+        .alias("rows_in_alert"),
+        F.sum(
+            F.when((F.col("state") == "on") & (F.col("prev_state") == "off"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_episodes"),
+        F.max(F.col("state") == "on").alias("currently_on"),
+    )
+
+
+# --------------------------------------------------------------------------
+# data_token_budget_pack
+# --------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 1000
+
+_BUDGET_SQL = f"""
+    WITH toks AS (
+      SELECT source, doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      FROM documents
+    ),
+    ordered AS (
+      SELECT source, doc_id, tokens,
+             CAST(coalesce(sum(tokens) OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM toks
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs_total,
+           CAST(sum(tokens) AS BIGINT) AS tokens_total,
+           CAST(count(*) FILTER (WHERE cum_before < {_BUDGET_TOKENS})
+                AS BIGINT) AS n_docs_kept,
+           CAST(sum(tokens) FILTER (WHERE cum_before < {_BUDGET_TOKENS})
+                AS BIGINT) AS tokens_kept
+    FROM ordered
+    GROUP BY 1
+"""
+
+
+@register("data_token_budget_pack", oracle=_BUDGET_SQL, tags=("llm", "sampling"))
+def data_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source token budgeting for mixture construction: docs
+    are ordered by the quality proxy (n_chars desc, doc_id) and kept
+    while the cumulative token count BEFORE the doc is under the
+    {_BUDGET_TOKENS}-token source budget — the first overflowing doc is
+    kept (greedy-prefix convention), so every source contributes at
+    least one document. The kept set is a prefix of a deterministic
+    order, which is what makes budget packing reproducible across runs
+    and engines.
+
+    Plan shape: tokenize scan -> ONE partitioned cumulative window
+    (source) -> groupBy. At 100 TB both the window and the aggregate
+    shuffle on source; if a single source dominates the corpus, salt
+    the window by pre-aggregating per (source, n_chars bucket) ranges —
+    the budget cut only needs the running sum at bucket granularity to
+    locate the cut bucket, then an exact pass within it."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("bigint").alias("tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = toks.select(
+        "source",
+        "tokens",
+        F.coalesce(F.sum("tokens").over(w), F.lit(0)).cast("bigint").alias("cum_before"),
+    )
+    kept = F.col("cum_before") < _BUDGET_TOKENS
+    return ordered.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs_total"),
+        F.sum("tokens").cast("bigint").alias("tokens_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_docs_kept"),
+        F.sum(F.when(kept, F.col("tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )
