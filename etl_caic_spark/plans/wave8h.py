@@ -127,10 +127,14 @@ def eval_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride along for auditability.
 
     Plan shape: the candidate leg is the bucketed LSH join (never
-    all-pairs); the truth leg is an inverted-index self-join on shingle
-    — exact, so NO df-cap: shared-shingle buckets are the quadratic
-    hazard, which is exactly why the truth leg is the audit you run on
-    a SAMPLE at 100 TB (stratify doc_ids, the same query) while the
+    all-pairs); the truth leg is the inverted-index self-join on
+    shingle, with the sides EXPLICITLY repartitioned on the join key:
+    AQE's coalescing is sized by shuffle INPUT bytes, and a self-join
+    whose output fans out ~200x per input row gets collapsed onto one
+    task by that estimate (measured 7 s single-task vs ~1.5 s at 32 —
+    SCALE.md wave-8 notes, incl. the tried-and-rejected prefix-filter
+    variant). Exact truth means NO df-cap; at 100 TB this leg is the
+    audit you run on a stratified doc_id SAMPLE (same query) while the
     candidate leg runs on the full corpus. Counts reduce to one row."""
     d = load_table(spark, sf_dir, "documents")
     kept = D.minhash_lsh_pairs_md5(
@@ -139,18 +143,28 @@ def eval_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         F.col("doc_id").alias("doc"),
         F.explode(D.word_shingles(F.col("text"), 3)).alias("shingle"),
-    )
+    ).repartition(32, "shingle")
     sizes = sh.groupBy("doc").agg(F.count("*").cast("bigint").alias("sz"))
     x = sh.alias("x")
     y = sh.alias("y")
     inter = (
-        x.join(y, (F.col("y.shingle") == F.col("x.shingle")) & (F.col("x.doc") < F.col("y.doc")))
+        x.join(
+            y,
+            (F.col("y.shingle") == F.col("x.shingle"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
         .groupBy(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .agg(F.count("*").cast("bigint").alias("i"))
     )
     truth = (
-        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+        inter.join(
+            sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sza"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "szb"),
+            "doc_b",
+        )
         .filter(3 * F.col("i") >= F.col("sza") + F.col("szb"))
         .select("doc_a", "doc_b")
     )
