@@ -106,6 +106,7 @@ from etl_caic_spark.plans import wave8g  # noqa: F401,E402
 from etl_caic_spark.plans import wave8h  # noqa: F401,E402
 from etl_caic_spark.plans import wave8i  # noqa: F401,E402
 from etl_caic_spark.plans import wave8j  # noqa: F401,E402
+from etl_caic_spark.plans import wave8k  # noqa: F401,E402
 
 # Round-8 rotation (r7 verdict ask #1): burn down the 178-query
 # never-driver-verified debt, heaviest-evidence-gap first. The window is
