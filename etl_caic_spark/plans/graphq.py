@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_caic_spark.operators.pagerank import SCALE, pagerank
+from etl_caic_spark.operators.eventgraph import deterministic_event_edges
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 
@@ -142,17 +143,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic wedge lists — documented here, unneeded at this graph's
     density. The graph is a deterministic sparse derivation from events
     (~1 edge per 37 events)."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
-    dst = (F.col("user_id") * 7 + F.col("event_id")) % 150
-    e = (
-        ev.select(
-            F.least(F.col("user_id"), dst).alias("a"),
-            F.greatest(F.col("user_id"), dst).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()  # three self-join consumers; compute edges once
-    )
+    ev = load_table(spark, sf_dir, "events")
+    # shared derivation (operators/eventgraph.py) — same graph as
+    # graph_adamic_adar / graph_harmonic_centrality by construction
+    e = deterministic_event_edges(ev).localCheckpoint()  # 3 self-join consumers
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.b") == F.col("e2.a"))

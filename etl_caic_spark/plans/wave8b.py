@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_caic_spark.operators.micronat import iln
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 
@@ -73,12 +74,26 @@ def hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle is the sequential textbook definition (WITH RECURSIVE
     parent walk), so the doubling loop is verified node-for-node.
+    The jump table is built over the CLOSURE of the key set under
+    parent() — every intermediate ancestor gets a row even when it is
+    not itself a customer key — so the per-round inner join is total on
+    any key distribution (a sampled or filtered snapshot), not just the
+    dense fixture; the closure costs one 17-element explode + distinct.
     At 100 TB: the frame stays hash-partitioned on k; round r's join
     shuffles only the (k, anc, d) triple — 24 bytes/row — and roots
     reach their fixpoint (anc = k, d stable) immediately, so AQE sees
     shrinking build sides round over round."""
     cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
-    f = cust.select(
+    # ancestor closure: k div 10^i for i = 0..16 (covers any int64 key)
+    nodes = (
+        cust.select(
+            F.explode(F.array(*[F.expr(f"k div {10**i}") for i in range(17)])).alias(
+                "k"
+            )
+        )
+        .distinct()
+    )
+    f = nodes.select(
         "k",
         F.when(F.col("k") >= 10, F.expr("k div 10")).otherwise(F.col("k")).alias("anc"),
         F.when(F.col("k") >= 10, F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias("d"),
@@ -90,7 +105,7 @@ def hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.anc").alias("anc"),
             (F.col("a.d") + F.col("b.d")).cast("bigint").alias("d"),
         )
-    return f.select(
+    return f.join(cust, "k").select(
         F.col("k").alias("c_custkey"),
         F.col("anc").alias("root_key"),
         F.col("d").alias("depth"),

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_caic_spark.operators import similarity as S
+from etl_caic_spark.operators.micronat import iln
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 
@@ -93,8 +94,7 @@ _RRF_SQL = f"""
 """
 
 
-def _iln(c: Column) -> Column:
-    return F.round(F.round(F.log(c), 6) * 1e6).cast("bigint")
+_iln = iln  # shared micro-nat integer log (operators/micronat.py)
 
 
 @register("rag_rrf_fusion", oracle=_RRF_SQL, tags=("retrieval", "llm", "similarity"))
@@ -398,9 +398,16 @@ _BLEU_SQL = """
              c2.clipped AS clip2, c2.total AS tot2,
              CAST(least(0, round((1 - len_ref * 1.0 / len_hyp) * 1e6))
                   AS BIGINT) AS bp_micro,
-             (CAST(round(round(ln(c1.clipped), 6) * 1e6) AS BIGINT)
+             -- NULL when clipped = 0 (Spark's log(0) is NULL; DuckDB's
+             -- ln(0) would hard-error) — a zero-overlap corpus reports
+             -- ln_bleu2_micro NULL identically on both engines
+             (CASE WHEN c1.clipped = 0 THEN NULL
+                   ELSE CAST(round(round(ln(c1.clipped), 6) * 1e6) AS BIGINT)
+              END
               - CAST(round(round(ln(c1.total), 6) * 1e6) AS BIGINT)) AS lnp1,
-             (CAST(round(round(ln(c2.clipped), 6) * 1e6) AS BIGINT)
+             (CASE WHEN c2.clipped = 0 THEN NULL
+                   ELSE CAST(round(round(ln(c2.clipped), 6) * 1e6) AS BIGINT)
+              END
               - CAST(round(round(ln(c2.total), 6) * 1e6) AS BIGINT)) AS lnp2
       FROM lens, clip1 c1, clip2 c2
     )

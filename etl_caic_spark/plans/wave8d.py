@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_caic_spark.operators.eventgraph import deterministic_event_edges, symmetrize
+from etl_caic_spark.operators.micronat import iln
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 
@@ -244,24 +246,14 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub-skew hazard: cap or salt max-degree centers (the graph here is
     degree-bounded by construction; the cap is documented, not needed).
     Reference: extension (no graph surface in task.ts)."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
-    dst = (F.col("user_id") * 7 + F.col("event_id")) % 150
-    e = (
-        ev.select(
-            F.least(F.col("user_id"), dst).alias("a"),
-            F.greatest(F.col("user_id"), dst).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()  # symmetrize + anti-join consumers; compute once
-    )
-    u = e.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
-        e.select(F.col("b").alias("s"), F.col("a").alias("d"))
-    )
+    ev = load_table(spark, sf_dir, "events")
+    # shared derivation (operators/eventgraph.py) — same graph as
+    # graph_triangles / graph_harmonic_centrality by construction
+    e = deterministic_event_edges(ev).localCheckpoint()
+    u = symmetrize(e)
     deg = u.groupBy(F.col("s").alias("v")).agg(F.count("*").cast("bigint").alias("deg"))
-    iln = F.round(F.round(F.log("deg"), 6) * 1e6).cast("bigint")
     contrib = deg.filter(F.col("deg") >= 2).select(
-        "v", F.round(F.lit(1000000000000.0) / iln).cast("bigint").alias("w")
+        "v", F.round(F.lit(1000000000000.0) / iln("deg")).cast("bigint").alias("w")
     )
     u1 = u.alias("u1")
     u2 = u.alias("u2")

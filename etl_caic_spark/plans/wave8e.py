@@ -171,9 +171,15 @@ _FP_SQL = """
                CAST(strpos('0123456789abcdef', hx[i]) - 1 AS BIGINT)
                * (CAST(1 AS BIGINT) << (4 * (15 - i))))) AS v
       FROM (
+        -- explicit NULL markers: '||' nulls the whole hash on a NULL
+        -- field (and Spark's concat_ws would silently DROP the field,
+        -- letting ('1',NULL,'2') collide with ('1','2',NULL)) — both
+        -- engines canonify NULL to the same out-of-alphabet token
         SELECT source,
-               md5(CAST(doc_id AS VARCHAR) || '|' || lang || '|'
-                   || CAST(n_chars AS VARCHAR) || '|' || md5(text)) AS hx
+               md5(CAST(doc_id AS VARCHAR) || '|'
+                   || coalesce(lang, chr(0) || 'NULL') || '|'
+                   || coalesce(CAST(n_chars AS VARCHAR), chr(0) || 'NULL')
+                   || '|' || md5(coalesce(text, chr(0) || 'NULL'))) AS hx
         FROM documents
       )
     )
@@ -204,13 +210,17 @@ def dq_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial ROLLUP aggregate — shuffle carries |sources|+1 rows at any
     scale; the canonical 100-TB audit query."""
     d = load_table(spark, sf_dir, "documents")
+    # NULL marker must mirror the oracle exactly (see oracle comment):
+    # concat_ws would silently drop NULL fields AND their separator,
+    # both diverging from SQL '||' and colliding shifted field values.
+    null_tok = F.concat(F.lit("\x00"), F.lit("NULL"))
     hx = F.md5(
         F.concat_ws(
             "|",
             F.col("doc_id").cast("string"),
-            F.col("lang"),
-            F.col("n_chars").cast("string"),
-            F.md5("text"),
+            F.coalesce(F.col("lang"), null_tok),
+            F.coalesce(F.col("n_chars").cast("string"), null_tok),
+            F.md5(F.coalesce(F.col("text"), null_tok)),
         )
     )
     v = F.conv(F.substring(hx, 1, 15), 16, 10).cast("bigint")

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_caic_spark.operators.eventgraph import deterministic_event_edges, symmetrize
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 
@@ -181,20 +182,11 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round — sketch_hll_distinct demonstrates the register algebra),
     trading exactness for linear memory. This query is the exact
     anchor."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
-    dst = (F.col("user_id") * 7 + F.col("event_id")) % 150
-    e = (
-        ev.select(
-            F.least(F.col("user_id"), dst).alias("a"),
-            F.greatest(F.col("user_id"), dst).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
-    u = e.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
-        e.select(F.col("b").alias("s"), F.col("a").alias("d"))
-    )
+    ev = load_table(spark, sf_dir, "events")
+    # shared derivation (operators/eventgraph.py) — same graph as
+    # graph_triangles / graph_adamic_adar by construction
+    e = deterministic_event_edges(ev).localCheckpoint()
+    u = symmetrize(e)
     d1 = u.select(F.col("s").alias("v"), F.col("d").alias("t")).distinct()
     d2 = (
         d1.join(u, d1.t == u.s)

@@ -213,7 +213,9 @@ _HYST_SQL = f"""
              coalesce(last_value(crossing IGNORE NULLS) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'off')
-               AS prev_state
+               AS prev_state,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_last
       FROM crossed
     )
     SELECT user_id,
@@ -221,7 +223,7 @@ _HYST_SQL = f"""
              AS rows_in_alert,
            CAST(count(*) FILTER (WHERE state = 'on' AND prev_state = 'off')
                 AS BIGINT) AS n_episodes,
-           max(state = 'on') AS currently_on
+           max(CASE WHEN rn_last = 1 THEN state = 'on' END) AS currently_on
     FROM held
     GROUP BY 1
 """
@@ -235,7 +237,9 @@ def ts_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-threshold alerting from flapping. The sequential state
     machine compiles to last(crossing, ignorenulls) over the ordered
     per-user window (initial state 'off'); an episode starts on an
-    off->on transition of the held state.
+    off->on transition of the held state; currently_on reports the held
+    state AT THE LATEST EVENT (rn_last = 1), not "was ever on" — a
+    disarmed user must read false.
 
     Plan shape: one scan, one hash-partitioned window (user_id), one
     groupBy — the standard windowed-feature cost, no iteration, no
@@ -248,6 +252,7 @@ def ts_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cur = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    wd = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     held = ev.select(
         "user_id",
         F.coalesce(F.last(crossing, ignorenulls=True).over(cur), F.lit("off")).alias(
@@ -256,6 +261,7 @@ def ts_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.last(crossing, ignorenulls=True).over(prev), F.lit("off")).alias(
             "prev_state"
         ),
+        F.row_number().over(wd).alias("rn_last"),
     )
     return held.groupBy("user_id").agg(
         F.sum(F.when(F.col("state") == "on", 1).otherwise(0))
@@ -267,7 +273,9 @@ def ts_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_episodes"),
-        F.max(F.col("state") == "on").alias("currently_on"),
+        F.max(F.when(F.col("rn_last") == 1, F.col("state") == "on")).alias(
+            "currently_on"
+        ),
     )
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_caic_spark.operators.micronat import iln
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 
@@ -100,9 +101,6 @@ def sim_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = d.agg(F.count("*").cast("bigint").alias("n_docs"))
     dfs = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
-
-    def iln(c: Column) -> Column:
-        return F.round(F.round(F.log(c), 6) * 1e6).cast("bigint")
 
     wts = (
         tf.join(F.broadcast(dfs.filter(F.col("df") <= _TFIDF_DF_CAP)), "term")
@@ -198,7 +196,6 @@ def stat_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
-    iln = lambda c: F.round(F.round(F.log(c), 6) * 1e6).cast("bigint")  # noqa: E731
     agg = rev.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("s"),

@@ -12,12 +12,6 @@ from etl_caic_spark.registry import all_specs
 SPECS = all_specs()
 
 
-def _physical(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "extended"
-    )
-
-
 def _executed(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -39,7 +33,6 @@ def test_rrf_fused_topk_is_take_ordered(spark, sf_dir):
 def test_skyline_single_window_over_cells(spark, sf_dir):
     df = SPECS["analytics_skyline"].fn(spark, sf_dir)
     plan = _executed(df)
-    assert plan.count("Window") >= 1
     # exactly one window operator (the cumulative-max sweep)
     assert len(re.findall(r"\bWindow\b", plan)) == 1
 

@@ -9,10 +9,15 @@ SPECS = all_specs()
 
 
 def test_hierarchy_flatten_decimal_trie(spark, sf_dir):
-    rows = {r["c_custkey"]: r for r in
-            SPECS["hierarchy_flatten"].fn(spark, sf_dir).collect()}
-    # every customer resolved exactly once
-    assert len(rows) == len(set(rows))
+    from etl_caic_spark.sources import load_table
+
+    out = SPECS["hierarchy_flatten"].fn(spark, sf_dir).collect()
+    rows = {r["c_custkey"]: r for r in out}
+    # every customer resolved EXACTLY once (no drops from the jump
+    # joins, no duplicate resolutions)
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert len(out) == n_cust
+    assert len(rows) == n_cust
     # roots resolve to themselves at depth 0
     for k in range(10):
         if k in rows:
@@ -32,7 +37,7 @@ def test_dsir_prefers_target_language(spark, sf_dir):
     # corpus share
     assert n_en > 50, n_en
     scores = [r["score_micro_nats"] for r in out]
-    assert scores == sorted(scores, reverse=True) or set(scores)  # ints present
+    assert scores == sorted(scores, reverse=True)
 
 
 def test_holt_linear_matches_recurrence(spark, sf_dir):

@@ -35,7 +35,8 @@ def test_hysteresis_state_machine_python_replay(spark, sf_dir):
     by_user: dict = {}
     for r in ev:
         by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["value"]))
-    for uid in sorted(by_user)[:15]:
+    saw_disarmed_after_episode = False
+    for uid in sorted(by_user):
         state = "off"
         rows_on = episodes = 0
         for _, _, v in sorted(by_user[uid]):
@@ -50,6 +51,12 @@ def test_hysteresis_state_machine_python_replay(spark, sf_dir):
                     episodes += 1
         r = got[uid]
         assert (r["rows_in_alert"], r["n_episodes"]) == (rows_on, episodes), uid
+        # currently_on is the held state at the LATEST event, not "ever on"
+        assert r["currently_on"] == (state == "on"), uid
+        if episodes > 0 and state == "off":
+            saw_disarmed_after_episode = True
+    # the fixture must actually exercise the ever-on != currently-on case
+    assert saw_disarmed_after_episode
 
 
 def test_token_budget_prefix_properties(spark, sf_dir):
