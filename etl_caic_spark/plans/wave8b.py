@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_caic_spark.operators.hierarchy import resolve_decimal_trie
 from etl_caic_spark.operators.micronat import iln
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
@@ -46,8 +47,6 @@ from etl_caic_spark.sources import load_table
 # --------------------------------------------------------------------------
 # hierarchy_flatten
 # --------------------------------------------------------------------------
-
-_JUMP_ROUNDS = 4  # covers depth 2^4 = 16; the decimal trie needs ceil(log10 n)
 
 _HIERARCHY_SQL = """
     WITH RECURSIVE up AS (
@@ -84,31 +83,8 @@ def hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach their fixpoint (anc = k, d stable) immediately, so AQE sees
     shrinking build sides round over round."""
     cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
-    # ancestor closure: k div 10^i for i = 0..16 (covers any int64 key)
-    nodes = (
-        cust.select(
-            F.explode(F.array(*[F.expr(f"k div {10**i}") for i in range(17)])).alias(
-                "k"
-            )
-        )
-        .distinct()
-    )
-    f = nodes.select(
-        "k",
-        F.when(F.col("k") >= 10, F.expr("k div 10")).otherwise(F.col("k")).alias("anc"),
-        F.when(F.col("k") >= 10, F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias("d"),
-    )
-    for _ in range(_JUMP_ROUNDS):
-        a, b = f.alias("a"), f.alias("b")
-        f = a.join(b, F.col("a.anc") == F.col("b.k")).select(
-            F.col("a.k").alias("k"),
-            F.col("b.anc").alias("anc"),
-            (F.col("a.d") + F.col("b.d")).cast("bigint").alias("d"),
-        )
-    return f.join(cust, "k").select(
-        F.col("k").alias("c_custkey"),
-        F.col("anc").alias("root_key"),
-        F.col("d").alias("depth"),
+    return resolve_decimal_trie(cust).select(
+        F.col("k").alias("c_custkey"), "root_key", "depth"
     )
 
 

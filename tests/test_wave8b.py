@@ -78,3 +78,19 @@ def test_l_diversity_flags_consistent(spark, sf_dir):
         assert r["at_risk"] == (r["l_distinct"] < 3)
         assert 0 < r["max_share"] <= 1.0
         assert r["n_rows"] >= r["l_distinct"]
+
+
+def test_hierarchy_operator_on_sparse_keys(spark):
+    """The pointer-jump join must be total on SPARSE key sets — the
+    closure supplies intermediate ancestors that are not keys
+    themselves (the fixture is dense, so this case needs a synthetic
+    frame)."""
+    from etl_caic_spark.operators.hierarchy import resolve_decimal_trie
+
+    # 54321's ancestors 5432, 543, 54 are deliberately absent
+    keys = spark.createDataFrame([(54321,), (7,), (988,)], "k bigint")
+    got = {r["k"]: r for r in resolve_decimal_trie(keys).collect()}
+    assert set(got) == {54321, 7, 988}
+    assert (got[54321]["root_key"], got[54321]["depth"]) == (5, 4)
+    assert (got[7]["root_key"], got[7]["depth"]) == (7, 0)
+    assert (got[988]["root_key"], got[988]["depth"]) == (9, 2)
