@@ -7,8 +7,10 @@ distributed plan for org charts, BOMs and category trees whose parent
 relation is computable from the key.
 
 The jump table is built over the CLOSURE of the key set under parent()
-(k div 10^i for i = 0..16 covers any int64 key), so every intermediate
-ancestor has a row even when it is not itself in ``keys`` — the
+(k div 10^i for i = 0..18 covers any int64 key — int64 max has 19
+decimal digits, so the deepest node sits at depth 18), so every
+intermediate ancestor has a row even when it is not itself in ``keys``
+— the
 per-round inner join is total on ANY key distribution (sampled slices,
 filtered snapshots), not just dense fixtures. Output rows are filtered
 back to the original key set. tests/test_wave8b.py exercises the sparse
@@ -20,14 +22,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-JUMP_ROUNDS = 4  # covers depth 2^4 = 16 = ceil(log10(int64 max))
+JUMP_ROUNDS = 5  # covers depth 2^5 = 32 >= 18, the max decimal depth of int64
 
 
 def resolve_decimal_trie(keys: DataFrame) -> DataFrame:
     """keys(k: bigint) -> (k, root_key, depth) for every input key."""
     nodes = (
         keys.select(
-            F.explode(F.array(*[F.expr(f"k div {10**i}") for i in range(17)])).alias(
+            F.explode(F.array(*[F.expr(f"k div {10**i}") for i in range(19)])).alias(
                 "k"
             )
         )

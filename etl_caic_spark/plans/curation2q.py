@@ -168,18 +168,19 @@ def dedup_paragraph_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(array_sort(collect_list(struct(i, w))), x -> x.w)"),
         ).alias("chunk")
     ).localCheckpoint()
-    # First-occurrence keep WITHOUT a join-back: the argmin ordinal
-    # doc_id*10000 + chunk_id is invertible, so one groupBy on the chunk
-    # text yields the surviving (doc_id, chunk_id, chunk) rows directly —
-    # no second pass over the chunk stream and no string-keyed join.
+    # First-occurrence keep WITHOUT a join-back: min over the
+    # (doc_id, chunk_id) STRUCT is the lexicographic argmin, so one
+    # groupBy on the chunk text yields the surviving
+    # (doc_id, chunk_id, chunk) rows directly — no second pass over the
+    # chunk stream, no string-keyed join, and no packed-ordinal overflow
+    # bound (a doc_id*K + chunk_id encoding would silently mis-attribute
+    # chunks past chunk_id >= K; the struct min has no such ceiling).
     kept = (
         chunks.groupBy("chunk")
-        .agg(
-            F.min(F.col("doc_id") * 10000 + F.col("chunk_id")).alias("keep_ord")
-        )
+        .agg(F.min(F.struct("doc_id", "chunk_id")).alias("keep"))
         .select(
-            F.expr("keep_ord div 10000").alias("doc_id"),
-            (F.col("keep_ord") % 10000).alias("chunk_id"),
+            F.col("keep.doc_id").alias("doc_id"),
+            F.col("keep.chunk_id").alias("chunk_id"),
             "chunk",
         )
     )

@@ -89,8 +89,12 @@ _HLL_SQL = f"""
     ),
     corrected AS (
       SELECT grp, v_zero, s_scaled,
+             -- linear-counting ln frozen to 6 decimals before scaling
+             -- (micro-nat discipline): raw libm ln can differ by an ulp
+             -- between engines and flip round() at a .5 boundary
              CASE WHEN est_raw <= {(5 * _M) // 2} AND v_zero > 0
-                  THEN CAST(round({_M} * ln({_M} * 1.0 / v_zero)) AS BIGINT)
+                  THEN CAST(round(round(ln({_M} * 1.0 / v_zero), 6) * {_M})
+                       AS BIGINT)
                   ELSE est_raw END AS est_distinct
       FROM est
     ),
@@ -179,9 +183,15 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp",
         "v_zero",
         "s_scaled",
+        # linear-counting ln frozen to 6 decimals before scaling by m —
+        # same discipline as operators/micronat.py (the argument is a
+        # ratio, not an integer, so the shared iln helper doesn't apply,
+        # but the freeze-then-scale order is identical on both engines)
         F.when(
             (F.col("est_raw") <= (5 * _M) // 2) & (F.col("v_zero") > 0),
-            F.round(F.lit(_M) * F.log(F.lit(_M) / F.col("v_zero"))).cast("bigint"),
+            F.round(
+                F.round(F.log(F.lit(_M) / F.col("v_zero")), 6) * _M
+            ).cast("bigint"),
         )
         .otherwise(F.col("est_raw"))
         .alias("est_distinct"),

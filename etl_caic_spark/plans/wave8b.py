@@ -7,8 +7,9 @@ Four capability classes the engine did not cover yet:
 - ``hierarchy_flatten``: org-chart / BOM root-and-depth resolution. The
   naive per-level loop needs O(depth) joins; pointer jumping (each round
   replaces every node's ancestor pointer with its ancestor's ancestor)
-  needs O(log2 depth) — 4 rounds cover depth 16, i.e. any 10^16-key
-  decimal-trie hierarchy. The oracle is DuckDB's WITH RECURSIVE walking
+  needs O(log2 depth) — 5 rounds cover depth 32, past the depth-18
+  ceiling of any int64 decimal-trie key. The oracle is DuckDB's WITH
+  RECURSIVE walking
   the same synthetic parent function, so the distributed doubling loop
   is verified against the textbook sequential definition.
 - ``data_importance_resample``: DSIR-style (hashed n-gram importance
@@ -65,8 +66,9 @@ def hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resolve every node of a synthetic decimal-trie hierarchy
     (parent(k) = k div 10; keys < 10 are roots) to its root and depth by
     POINTER JUMPING: each round self-joins the frame on ancestor = key
-    and doubles the hop distance it has collapsed, so 4 rounds resolve
-    any depth <= 16. This is the distributed plan for org charts, BOMs
+    and doubles the hop distance it has collapsed, so 5 rounds resolve
+    any depth <= 32 — past the depth-18 ceiling of decimal int64 keys.
+    This is the distributed plan for org charts, BOMs
     and category trees — O(log depth) shuffles instead of the O(depth)
     of per-level iteration, each round one hash join on the ancestor
     key plus an exact BIGINT depth accumulation.
@@ -77,7 +79,7 @@ def hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     parent() — every intermediate ancestor gets a row even when it is
     not itself a customer key — so the per-round inner join is total on
     any key distribution (a sampled or filtered snapshot), not just the
-    dense fixture; the closure costs one 17-element explode + distinct.
+    dense fixture; the closure costs one 19-element explode + distinct.
     At 100 TB: the frame stays hash-partitioned on k; round r's join
     shuffles only the (k, anc, d) triple — 24 bytes/row — and roots
     reach their fixpoint (anc = k, d stable) immediately, so AQE sees
@@ -139,11 +141,6 @@ _DSIR_SQL = f"""
 """
 
 
-def _iln(c: Column) -> Column:
-    """Micro-nat log of an integer-valued column (registry convention)."""
-    return F.round(F.round(F.log(c), 6) * 1e6).cast("bigint")
-
-
 @register("data_importance_resample", oracle=_DSIR_SQL, tags=("llm", "sampling", "quality"))
 def data_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance resampling: hashed-unigram bucket counts
@@ -185,10 +182,10 @@ def data_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = agg.crossJoin(F.broadcast(tot)).select(
         "b",
         (
-            _iln(F.col("tcnt") + 1)
-            - _iln(F.col("ttot") + _DSIR_BUCKETS)
-            - _iln(F.col("bcnt") + 1)
-            + _iln(F.col("btot") + _DSIR_BUCKETS)
+            iln(F.col("tcnt") + 1)
+            - iln(F.col("ttot") + _DSIR_BUCKETS)
+            - iln(F.col("bcnt") + 1)
+            + iln(F.col("btot") + _DSIR_BUCKETS)
         ).alias("s"),
     )
     docs = tok.join(F.broadcast(scores), "b").groupBy("doc_id").agg(

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from etl_caic_spark.operators import similarity as S
 from etl_caic_spark.operators.micronat import iln
+from etl_caic_spark.operators.prefix import with_global_order
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 
@@ -41,6 +42,12 @@ from etl_caic_spark.sources import load_table
 _RRF_K = 60
 _RRF_TOPK = 20
 _RRF_QTERMS = 10
+# Per-leg candidate-pool depth. Provably deep enough for top-20 fusion:
+# the 20th-best fused score is >= round(1e6/(60+20)) = 12500 (the sem
+# top-20 alone reach that), while a document OUTSIDE both top-200 pools
+# scores at most 2*round(1e6/(60+201)) = 7662 < 12500 — so no document
+# beyond the pools can enter the fused top-20, whatever the data.
+_RRF_CAND = 200
 
 _RRF_SQL = f"""
     WITH tfx AS (
@@ -65,9 +72,11 @@ _RRF_SQL = f"""
       GROUP BY 1
     ),
     lrank AS (
-      SELECT doc_id, CAST(row_number() OVER (
-               ORDER BY lex_micro DESC, doc_id) AS BIGINT) AS lex_rank
-      FROM lex
+      SELECT doc_id, lex_rank FROM (
+        SELECT doc_id, CAST(row_number() OVER (
+                 ORDER BY lex_micro DESC, doc_id) AS BIGINT) AS lex_rank
+        FROM lex
+      ) WHERE lex_rank <= {_RRF_CAND}
     ),
     emb AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
@@ -77,19 +86,22 @@ _RRF_SQL = f"""
     ),
     q AS (SELECT e, nrm FROM emb WHERE vec_id = 0),
     srank AS (
-      SELECT c.vec_id AS doc_id,
-             CAST(row_number() OVER (
-               ORDER BY round(list_inner_product(q.e, c.e) / (q.nrm * c.nrm), 6)
-                        DESC, c.vec_id) AS BIGINT) AS sem_rank
-      FROM emb c CROSS JOIN q
+      SELECT doc_id, sem_rank FROM (
+        SELECT c.vec_id AS doc_id,
+               CAST(row_number() OVER (
+                 ORDER BY round(list_inner_product(q.e, c.e) / (q.nrm * c.nrm), 6)
+                          DESC, c.vec_id) AS BIGINT) AS sem_rank
+        FROM emb c CROSS JOIN q
+      ) WHERE sem_rank <= {_RRF_CAND}
     )
-    SELECT s.doc_id,
+    SELECT coalesce(s.doc_id, l.doc_id) AS doc_id,
            l.lex_rank,
            s.sem_rank,
            (coalesce(CAST(round(1e6 / ({_RRF_K} + l.lex_rank)) AS BIGINT), 0)
-            + CAST(round(1e6 / ({_RRF_K} + s.sem_rank)) AS BIGINT)) AS rrf_micro
-    FROM srank s LEFT JOIN lrank l ON l.doc_id = s.doc_id
-    ORDER BY rrf_micro DESC, s.doc_id ASC
+            + coalesce(CAST(round(1e6 / ({_RRF_K} + s.sem_rank)) AS BIGINT), 0))
+             AS rrf_micro
+    FROM srank s FULL OUTER JOIN lrank l ON l.doc_id = s.doc_id
+    ORDER BY rrf_micro DESC, doc_id ASC
     LIMIT {_RRF_TOPK}
 """
 
@@ -104,16 +116,19 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer idf — ln of integer counts only) fused with a semantic
     ranking by cosine to the vec_id=0 query embedding. RRF keeps only
     the RANKS — integers — so rrf_micro = round(1e6/(60+r_lex)) +
-    round(1e6/(60+r_sem)) is exact on both engines; documents missing
-    from the lexical list contribute 0, the standard RRF convention.
+    round(1e6/(60+r_sem)) is exact on both engines; a document missing
+    from a leg's candidate list contributes 0 for that leg, the
+    standard RRF-over-retrieved-lists convention.
 
     Plan shape: tf groupBy (partial-agg) + broadcast df/query-term dims
     for the lexical leg; one broadcast of the single query vector over
-    the embeddings scan for the semantic leg; both rank windows are
-    GLOBAL here because the result is one fused list — at 100 TB each
-    leg would keep only its own top-N (TakeOrderedAndProject, as
-    text_bm25_topk does) before the rank window, making the fused frame
-    N-bounded rather than corpus-bounded."""
+    the embeddings scan for the semantic leg. Each leg keeps only its
+    top-200 candidates via TakeOrderedAndProject (no global sort — see
+    _RRF_CAND for the proof that 200 is deep enough for exact top-20
+    fusion), and ranks within the 200-row pools come from the
+    range-partitioned prefix construction (operators/prefix.py), so no
+    unpartitioned WindowExec exists at any corpus size; the fused frame
+    is N-bounded, not corpus-bounded."""
     d = load_table(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
@@ -140,35 +155,32 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("w").cast("bigint").alias("lex_micro"))
     )
-    lrank = lex.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("lex_micro"), F.asc("doc_id")))
-        .cast("bigint")
-        .alias("lex_rank"),
-    )
+    lex_top = lex.orderBy(F.desc("lex_micro"), F.asc("doc_id")).limit(_RRF_CAND)
+    lrank = with_global_order(
+        lex_top,
+        [F.col("lex_micro").desc(), F.col("doc_id").asc()],
+        rn_col="lex_rank",
+        num_partitions=4,
+    ).select("doc_id", "lex_rank")
     emb = S.with_norm(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("_vec").alias("q_vec"), F.col("_norm").alias("q_norm")
     )
-    srank = (
-        emb.crossJoin(F.broadcast(q))
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.round(
-                S.cosine(F.col("q_vec"), F.col("q_norm"), F.col("_vec"), F.col("_norm")),
-                6,
-            ).alias("cosine"),
-        )
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.desc("cosine"), F.asc("doc_id")))
-            .cast("bigint")
-            .alias("sem_rank"),
-        )
+    sem_scores = emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            S.cosine(F.col("q_vec"), F.col("q_norm"), F.col("_vec"), F.col("_norm")),
+            6,
+        ).alias("cosine"),
     )
-    fused = srank.join(lrank, "doc_id", "left").select(
+    sem_top = sem_scores.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(_RRF_CAND)
+    srank = with_global_order(
+        sem_top,
+        [F.col("cosine").desc(), F.col("doc_id").asc()],
+        rn_col="sem_rank",
+        num_partitions=4,
+    ).select("doc_id", "sem_rank")
+    fused = srank.join(lrank, "doc_id", "full").select(
         "doc_id",
         "lex_rank",
         "sem_rank",
@@ -177,7 +189,10 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.lit(1e6) / (F.lit(_RRF_K) + F.col("lex_rank"))).cast("bigint"),
                 F.lit(0),
             )
-            + F.round(F.lit(1e6) / (F.lit(_RRF_K) + F.col("sem_rank"))).cast("bigint")
+            + F.coalesce(
+                F.round(F.lit(1e6) / (F.lit(_RRF_K) + F.col("sem_rank"))).cast("bigint"),
+                F.lit(0),
+            )
         ).alias("rrf_micro"),
     )
     return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(_RRF_TOPK)

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from etl_caic_spark.operators.eventgraph import deterministic_event_edges, symmetrize
 from etl_caic_spark.operators.micronat import iln
+from etl_caic_spark.operators.prefix import with_global_order
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 
@@ -445,12 +446,16 @@ def analytics_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     match against the quadratic NOT EXISTS oracle certifies the sweep
     against the declarative dominance definition.
 
-    Plan shape: groupBy collapse (fact-scale, partial agg) then a window
-    over the distinct cells. The sweep window is global but runs over
-    the CELL set (|price x size| distinct pairs), not the fact table; at
-    100 TB with a dense cell domain, run the standard two-phase variant —
-    per-partition local skyline (mapPartitions, each survivor set is
-    tiny) then this same sweep over the union of survivors."""
+    Plan shape: groupBy collapse (fact-scale, partial agg), then the
+    cumulative-max sweep runs DISTRIBUTED via the range-partitioned
+    prefix construction (operators/prefix.py prevmax_cols): cells are
+    range-shuffled on (price asc, sz desc), each partition computes its
+    local EXCLUSIVE running max, and an O(P) per-partition-maxima
+    collect becomes a broadcast prefix-max offset map — the same values
+    the single global window would produce, with no unpartitioned
+    WindowExec at any cell-domain density. The hash match against the
+    quadratic NOT EXISTS oracle certifies the distributed sweep against
+    the declarative dominance definition."""
     p = load_table(spark, sf_dir, "part")
     pts = p.groupBy(
         F.col("p_retailprice").alias("price"), F.col("p_size").alias("sz")
@@ -458,11 +463,11 @@ def analytics_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_parts"),
         F.min("p_partkey").cast("bigint").alias("min_partkey"),
     )
-    w = (
-        Window.orderBy(F.asc("price"), F.desc("sz"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    swept = with_global_order(
+        pts,
+        [F.col("price").asc(), F.col("sz").desc()],
+        prevmax_cols={"prev_max": "sz"},
     )
-    swept = pts.withColumn("prev_max", F.max("sz").over(w))
     return swept.filter(
         F.col("prev_max").isNull() | (F.col("prev_max") < F.col("sz"))
     ).select("price", F.col("sz").alias("size"), "n_parts", "min_partkey")

@@ -21,9 +21,10 @@ eval/analytics surface) — SURVEY §2.C extension mandate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_caic_spark.operators.prefix import with_global_order
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 
@@ -152,12 +153,14 @@ def analytics_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact BIGINTs; one rounded division publishes micro-units.
     Tie handling is rank-by-key (frozen variant; see module docstring).
 
-    Plan shape: revenue groupBy (fact-scale, partial agg) -> one global
-    rank window over the CUSTOMER-grain frame -> single-row reduce. The
-    global sort is customer-bounded, not fact-bounded; at 100 TB with
-    billions of customers, swap the window for the range-partitioned
-    prefix-rank construction used by cust_rfm_segments_dist
-    (scalewinq.py) — same formula, partitioned ranks. Bigint headroom:
+    Plan shape: revenue groupBy (fact-scale, partial agg) -> global rank
+    via the range-partitioned prefix-rank construction
+    (operators/prefix.py: range shuffle + partitioned windows + an O(P)
+    offset collect — NO unpartitioned WindowExec anywhere, the same
+    construction cust_rfm_segments_dist uses) -> single-row reduce.
+    Ranks are therefore partition-parallel at any customer count; the
+    hash match against the oracle's global row_number proves the offset
+    algebra reproduces it exactly. Bigint headroom:
     s1 <= n * s0, so 2*s1 stays int64-exact while n * s0 < 4.6e18; the
     sf fixtures sit at n <= 1e5, s0 <= 1e12 (s1 <= 1e17). Past that —
     e.g. 1e8 customers averaging 1e6 cents — move the s1 accumulator to
@@ -168,12 +171,8 @@ def analytics_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
-    ranked = rev.select(
-        "cents",
-        F.row_number()
-        .over(Window.orderBy("cents", "o_custkey"))
-        .cast("bigint")
-        .alias("r"),
+    ranked = with_global_order(rev, ["cents", "o_custkey"], rn_col="r").select(
+        "cents", "r"
     )
     agg = ranked.agg(
         F.count("*").cast("bigint").alias("n"),

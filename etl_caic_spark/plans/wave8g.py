@@ -20,10 +20,11 @@ extension mandate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_caic_spark.operators.eventgraph import deterministic_event_edges, symmetrize
+from etl_caic_spark.operators.prefix import with_global_order
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 
@@ -73,10 +74,12 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention).
 
     Plan shape: revenue groupBy (fact partial agg) -> broadcast-joined
-    customer dim -> two global rank windows over the CUSTOMER-grain
-    frame -> single-row reduce. At 100 TB customer-grain global sorts
-    move to the range-partitioned prefix-rank construction
-    (scalewinq.py), same formula. Bigint headroom: n(n^2-1) < 2^63
+    customer dim -> TWO sequential range-partitioned prefix ranks
+    (operators/prefix.py: range shuffle + partitioned windows + O(P)
+    offset collects — no unpartitioned WindowExec at any customer
+    count) -> single-row reduce. The hash match against the oracle's
+    two global row_numbers proves the partitioned ranks reproduce them
+    exactly. Bigint headroom: n(n^2-1) < 2^63
     holds through n ~ 2e6 customers per audited slice; past that the d2
     and n^3 terms ride the DECIMAL(38,0) ladder."""
     orders = load_table(spark, sf_dir, "orders")
@@ -91,15 +94,9 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey).select(
         "c_custkey", "bal_cents", "rev_cents"
     )
-    ranked = base.select(
-        F.row_number()
-        .over(Window.orderBy("bal_cents", "c_custkey"))
-        .cast("bigint")
-        .alias("rx"),
-        F.row_number()
-        .over(Window.orderBy("rev_cents", "c_custkey"))
-        .cast("bigint")
-        .alias("ry"),
+    rx = with_global_order(base, ["bal_cents", "c_custkey"], rn_col="rx")
+    ranked = with_global_order(rx, ["rev_cents", "c_custkey"], rn_col="ry").select(
+        "rx", "ry"
     )
     agg = ranked.agg(
         F.count("*").cast("bigint").alias("n"),

@@ -140,10 +140,14 @@ def eval_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = D.minhash_lsh_pairs_md5(
         d, "doc_id", "text", num_hashes=16, bands=8, k=3, threshold=0.5
     ).select("doc_a", "doc_b")
+    # fan-out width = the session's parallelism, not a literal core
+    # count — on a cluster this tracks total executor slots (r8 verdict
+    # ask #6)
+    fanout = spark.sparkContext.defaultParallelism
     sh = d.select(
         F.col("doc_id").alias("doc"),
         F.explode(D.word_shingles(F.col("text"), 3)).alias("shingle"),
-    ).repartition(32, "shingle")
+    ).repartition(fanout, "shingle")
     sizes = sh.groupBy("doc").agg(F.count("*").cast("bigint").alias("sz"))
     x = sh.alias("x")
     y = sh.alias("y")

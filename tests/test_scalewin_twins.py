@@ -67,3 +67,27 @@ def test_originals_still_flag_their_caveat(spark, sf_dir):
     roles."""
     plan = _optimized_plan(SPECS["dq_sequence_gaps"].fn(spark, sf_dir))
     assert "windowspecdefinition" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "rag_rrf_fusion",
+        "analytics_gini",
+        "stat_spearman",
+        "analytics_skyline",
+    ],
+)
+def test_r9_rewritten_anchors_have_no_global_window(spark, sf_dir, name):
+    """The four r8 queries that shipped corpus/customer-grain GLOBAL rank
+    windows were rewritten in-place on operators/prefix.py (r8 verdict
+    ask #2): every window in their plans must now be partitioned (by the
+    range-partition id _gid), i.e. no `WindowExec: No Partition Defined`
+    at any scale."""
+    plan = _optimized_plan(SPECS[name].fn(spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, f"{name}: expected at least one (partitioned) window"
+    for spec in specs:
+        assert "_gid" in spec, (
+            f"{name}: window not partitioned by _gid:\n{spec}"
+        )

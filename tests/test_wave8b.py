@@ -87,10 +87,18 @@ def test_hierarchy_operator_on_sparse_keys(spark):
     frame)."""
     from etl_caic_spark.operators.hierarchy import resolve_decimal_trie
 
-    # 54321's ancestors 5432, 543, 54 are deliberately absent
-    keys = spark.createDataFrame([(54321,), (7,), (988,)], "k bigint")
+    # 54321's ancestors 5432, 543, 54 are deliberately absent; the two
+    # deep keys pin the full int64 range (18- and 19-digit → depth 17/18,
+    # the case the r8 closure bound of 10^16 silently got wrong)
+    deep18 = 123456789012345678  # 18 digits → depth 17, root 1
+    deep19 = 9223372036854775807  # int64 max, 19 digits → depth 18, root 9
+    keys = spark.createDataFrame(
+        [(54321,), (7,), (988,), (deep18,), (deep19,)], "k bigint"
+    )
     got = {r["k"]: r for r in resolve_decimal_trie(keys).collect()}
-    assert set(got) == {54321, 7, 988}
+    assert set(got) == {54321, 7, 988, deep18, deep19}
     assert (got[54321]["root_key"], got[54321]["depth"]) == (5, 4)
     assert (got[7]["root_key"], got[7]["depth"]) == (7, 0)
     assert (got[988]["root_key"], got[988]["depth"]) == (9, 2)
+    assert (got[deep18]["root_key"], got[deep18]["depth"]) == (1, 17)
+    assert (got[deep19]["root_key"], got[deep19]["depth"]) == (9, 18)
