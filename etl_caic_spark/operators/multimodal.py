@@ -30,6 +30,21 @@ DECODED_SCHEMA = (
 )
 
 
+def python_fanout(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's parallelism ahead of a
+    CPU-heavy Python (mapInPandas) stage.
+
+    A single-file parquet scan yields ONE input split, which serializes
+    the whole Python stage onto one task — the r8 bench showed the GIF
+    LZW encoder running 5000 images on 1 of 32 cores. The extra shuffle
+    moves only the stage's projected input columns (for the synthetic
+    codec queries that is one bigint per row); on a real multi-file
+    input whose split count already exceeds the core count the
+    repartition is redundant and can be dropped at the call site."""
+    spark = df.sparkSession
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def attach_binary_payload(docs: DataFrame) -> DataFrame:
     """Turn the documents table into a multimodal-shaped table: an opaque
     binary payload column plus a typed metadata struct (mime / declared

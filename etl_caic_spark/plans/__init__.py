@@ -107,77 +107,81 @@ from etl_caic_spark.plans import wave8h  # noqa: F401,E402
 from etl_caic_spark.plans import wave8i  # noqa: F401,E402
 from etl_caic_spark.plans import wave8j  # noqa: F401,E402
 from etl_caic_spark.plans import wave8k  # noqa: F401,E402
+from etl_caic_spark.plans import wave9a  # noqa: F401,E402
+from etl_caic_spark.plans import wave9b  # noqa: F401,E402
+from etl_caic_spark.plans import wave9c  # noqa: F401,E402
+from etl_caic_spark.plans import wave9d  # noqa: F401,E402
 
-# Round-8 rotation (r7 verdict ask #1): burn down the 178-query
-# never-driver-verified debt, heaviest-evidence-gap first. The window is
-# exactly the judge's prescription: the entire round6b/c/d stats/ML/graph
-# wave (24 — includes the two r7-semantics-changed queries
-# graph_label_propagation and stat_bootstrap_ci whose r6 driver rows are
-# stale, and stat_permutation_test whose hashmix + integer-division fix
-# lands this round), then relational2 (9 — includes agg_percentile_exact,
-# the last rows-only twin without a driver row, r7 ask #6), relational7
-# (9), and the formats family (8). 24+9+9+8 = 50, all never verified by
-# the driver before this round. Every r6/r7-window query went green twice
-# (driver + judge replay) and rotates out; r1-r7 cumulative driver-green
-# (195 names) is preserved in the CORRECTNESS artifacts.
+# Round-9 rotation (r8 verdict asks #1/#3/#7), never-verified-first:
+# all 29 round-8 queries (wave8b–8k + curation2q + sketch3q — their
+# semantics are the newest, four of them were rewritten onto the
+# prefix-rank construction this round, and dedup_paragraph_cdc /
+# sketch_hll_distinct / data_importance_resample carry round-9 review
+# fixes), then the five r1-era rows-only approx entries whose driver
+# rows are two-plus rounds stale (ask #3 — re-windowed once so current
+# row counts sit alongside their oracled twins' hashes), then the two
+# longest never-verified families timeseriesq (6) and mlq (6), and the
+# first four of the streaming family (ask #7 — the remaining stream_*
+# names rotate in next round). 29+5+6+6+4 = 50. Every r8-window query
+# went green twice (driver + judge replay) and rotates out; the r1–r8
+# cumulative driver-green set (239 hash + 6 rows-only names) is
+# preserved in the CORRECTNESS artifacts.
 _DRIVER_WINDOW = [
-    # round6b — never verified; graph_label_propagation re-derived in r7
-    "stat_mann_whitney",
-    "stat_welch_ttest",
-    "eval_ndcg_at_k",
-    "eval_pr_at_k",
-    "graph_label_propagation",
-    "ts_acf",
-    "ml_logreg_gd",
-    "rag_chunk_index",
-    # round6c — never verified; stat_bootstrap_ci got the hashmix in r7
-    "stat_jarque_bera",
-    "stat_mutual_info",
-    "stat_cramers_v",
-    "stat_bootstrap_ci",
-    "ts_crosscorr",
-    "ts_cusum_changepoint",
-    "ml_ols_multi",
-    "ml_decision_stump",
-    "rag_mmr_rerank",
-    # round6d — never verified; stat_permutation_test changes this round
-    "rec_item_knn",
-    "graph_modularity",
-    "feat_woe_iv",
-    "ml_knn_classify",
-    "attrib_position_based",
-    "stat_permutation_test",
-    "ts_theil_sen",
-    # relational2 — never verified (incl. agg_percentile_exact, the
-    # exact twin of the approx-percentile rows-only family)
-    "pivot_wide",
-    "unpivot_long",
-    "agg_stats",
-    "agg_approx_quantile",
-    "agg_string_agg",
-    "subquery_scalar",
-    "win_distribution",
-    "agg_percentile_exact",
-    "fn_regexp",
-    # relational7 — never verified
-    "profile_summary",
-    "stat_crosstab",
-    "fn_null_handling",
-    "fn_try_ops",
-    "explode_outer_nulls",
-    "agg_mode",
-    "dq_referential_integrity",
-    "agg_corr_exact_moments",
-    "fn_bitagg",
-    # formats — never verified
-    "scan_partition_pruned",
-    "scan_schema_evolution",
-    "sink_xml_roundtrip",
-    "sink_text_roundtrip",
-    "source_python_datasource",
-    "scan_csv_malformed",
-    "sink_partition_overwrite",
-    "scan_dynamic_partition_pruning",
+    # wave8b–8k + curation2q + sketch3q — the full round-8 surface
+    "hierarchy_flatten",
+    "data_importance_resample",
+    "ts_holt_linear",
+    "priv_l_diversity",
+    "rag_rrf_fusion",
+    "graph_hits",
+    "eval_bleu_corpus",
+    "priv_t_closeness",
+    "graph_adamic_adar",
+    "eval_chrf_corpus",
+    "analytics_skyline",
+    "bpe_learn_merges",
+    "dq_dataset_fingerprint",
+    "eval_cohen_kappa",
+    "analytics_gini",
+    "stat_spearman",
+    "graph_harmonic_centrality",
+    "eval_minhash_quality",
+    "ts_hysteresis_alerts",
+    "data_token_budget_pack",
+    "sim_tfidf_cosine_topk",
+    "stat_theil_index",
+    "agg_weighted_median",
+    "eval_fleiss_kappa",
+    "dedup_paragraph_cdc",
+    "data_mixture_temperature",
+    "text_perplexity_buckets",
+    "quality_gopher_rules",
+    "sketch_hll_distinct",
+    # r1-era rows-only entries, refreshed once (r8 verdict ask #3)
+    "dedup_minhash",
+    "dedup_simhash",
+    "sim_topk_ivf",
+    "sim_topk_ivf_kmeans",
+    "agg_approx_distinct",
+    # timeseriesq — never verified
+    "rollup_timeseries",
+    "funnel_stages",
+    "ts_time_weighted_avg",
+    "ts_gapfill_locf",
+    "win_pattern_purchase_error",
+    "ts_interpolate_linear",
+    # mlq — never verified
+    "eval_classification_report",
+    "eval_calibration_bins",
+    "eval_regression_metrics",
+    "feat_onehot",
+    "feat_hash_trick",
+    "feat_target_encode_loo",
+    # streamingq — never verified (first four; rest next round)
+    "stream_dedup",
+    "stream_foreach_batch",
+    "stream_stateful_totals",
+    "stream_python_datasource",
 ]
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_caic_spark.operators.multimodal import python_fanout
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 
@@ -133,7 +134,7 @@ def mm_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("cum_before"),
     )
-    patches = d.select("doc_id").mapInPandas(_patch_batches, _PATCH_OUT)
+    patches = python_fanout(d.select("doc_id")).mapInPandas(_patch_batches, _PATCH_OUT)
     px = patches.groupBy("doc_id").agg(
         F.sum("patch_sum").cast("bigint").alias("pixel_sum")
     )

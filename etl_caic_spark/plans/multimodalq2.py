@@ -25,6 +25,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_caic_spark.operators.multimodal import python_fanout
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 
@@ -133,7 +134,7 @@ def multimodal_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     features. The oracle computes the same features straight from the
     closed form — equality proves the PNG roundtrip is lossless."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    return d.mapInPandas(_png_batches, _PNG_OUT)
+    return python_fanout(d).mapInPandas(_png_batches, _PNG_OUT)
 
 
 def _wav_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -202,7 +203,7 @@ def multimodal_wav_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the same features from the closed form — equality proves the
     WAV roundtrip is lossless."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    return d.mapInPandas(_wav_batches, _WAV_OUT)
+    return python_fanout(d).mapInPandas(_wav_batches, _WAV_OUT)
 
 
 _FRAMES_OUT = (
@@ -289,7 +290,7 @@ def multimodal_png_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep it oracle-checkable: equality proves every frame of every blob
     survived the container roundtrip bit-exactly."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    return d.mapInPandas(_frame_batches, _FRAMES_OUT)
+    return python_fanout(d).mapInPandas(_frame_batches, _FRAMES_OUT)
 
 
 _BMP_OUT = (
@@ -373,7 +374,7 @@ def multimodal_bmp_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     change pixel_sum. The oracle computes the same features straight from
     the closed form — equality proves the BMP roundtrip is lossless."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    return d.mapInPandas(_bmp_batches, _BMP_OUT)
+    return python_fanout(d).mapInPandas(_bmp_batches, _BMP_OUT)
 
 
 _GIF_OUT = (
@@ -451,7 +452,7 @@ def multimodal_gif_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixels stress worst-case LZW (table overflow + resets on larger
     images are pinned by tests/test_codecs.py)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    return d.mapInPandas(_gif_batches, _GIF_OUT)
+    return python_fanout(d).mapInPandas(_gif_batches, _GIF_OUT)
 
 
 _WAVF_OUT = (
@@ -530,7 +531,7 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-parallel shape as multimodal_wav_codec; features are a
     single numpy pass per clip, no Python-per-sample loops."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    return d.mapInPandas(_wav_feature_batches, _WAVF_OUT)
+    return python_fanout(d).mapInPandas(_wav_feature_batches, _WAVF_OUT)
 
 
 _IMGSTATS_OUT = (
@@ -605,4 +606,4 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     channel, no shuffle before the per-image emit; corpus-wide channel
     means would add one tiny map-side-combinable aggregate on top."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    return d.mapInPandas(_image_stats_batches, _IMGSTATS_OUT)
+    return python_fanout(d).mapInPandas(_image_stats_batches, _IMGSTATS_OUT)

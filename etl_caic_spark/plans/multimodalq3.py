@@ -22,6 +22,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_caic_spark.operators.multimodal import python_fanout
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 
@@ -117,7 +118,7 @@ def multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
     patchify stage before writing training shards (pairs with
     multimodal_tar_shards)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    return d.mapInPandas(_patch_batches, _PATCH_OUT)
+    return python_fanout(d).mapInPandas(_patch_batches, _PATCH_OUT)
 
 
 def _decimate_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -189,4 +190,4 @@ def multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical mapInPandas envelope as multimodal_wav_codec —
     Arrow batches, one numpy pass per clip, partition-parallel."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    return d.mapInPandas(_decimate_batches, _DECIM_OUT)
+    return python_fanout(d).mapInPandas(_decimate_batches, _DECIM_OUT)
