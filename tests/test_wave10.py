@@ -1,0 +1,81 @@
+"""Property tests for the round-9 wave E queries beyond the oracle
+differential: PQ recall against the exact top-k, and the curriculum
+schedule's interleave/uniqueness invariants."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from etl_caic_spark.registry import all_specs
+from etl_caic_spark.sources import load_table
+
+SPECS = all_specs()
+
+
+def test_pq_rerank_recall_against_exact(spark, sf_dir):
+    """The ADC-100 shortlist + exact rerank must recover most of the
+    true top-10 (probed 9/10 on the sf0.01 fixture — random embeddings
+    are PQ's worst case; pin a floor of 7)."""
+    got = [r["vec_id"] for r in SPECS["sim_pq_adc"].fn(spark, sf_dir).collect()]
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = emb.select("vec_id", F.posexplode("embedding").alias("d", "xf")).select(
+        "vec_id",
+        "d",
+        F.round(F.col("xf").cast("double") * 1e6).cast("bigint").alias("x"),
+    )
+    q = sub.filter(F.col("vec_id") == 0).select("d", F.col("x").alias("qx"))
+    true_top = [
+        r["vec_id"]
+        for r in (
+            sub.filter(F.col("vec_id") != 0)
+            .join(F.broadcast(q), "d")
+            .groupBy("vec_id")
+            .agg(
+                F.sum((F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))).alias(
+                    "dist"
+                )
+            )
+            .orderBy("dist", "vec_id")
+            .limit(10)
+            .collect()
+        )
+    ]
+    overlap = len(set(got) & set(true_top))
+    assert overlap >= 7, f"recall@10 = {overlap}/10 (got {got}, true {true_top})"
+    # rerank orders by the exact distance, so ADC estimates need not be
+    # monotone in the output — but every exact distance must be
+    rows = SPECS["sim_pq_adc"].fn(spark, sf_dir).collect()
+    exacts = [r["exact_micro2"] for r in rows]
+    assert exacts == sorted(exacts)
+    assert all(r["adc_micro2"] >= 0 for r in rows)
+
+
+def test_curriculum_positions_unique_and_interleaved(spark, sf_dir):
+    rows = SPECS["data_curriculum_order"].fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    positions = [r["curriculum_pos"] for r in rows]
+    assert len(set(positions)) == n_docs  # closed form is collision-free
+    # within a stratum the schedule is easy-to-hard
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    n_strata = len(by_lang)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["stratum_rank"])
+        toks = [r["n_tokens"] for r in rs]
+        assert toks == sorted(toks), f"{lang} not easy-to-hard"
+        # closed form: consecutive ranks sit exactly n_strata apart
+        assert all(
+            b["curriculum_pos"] - a["curriculum_pos"] == n_strata
+            for a, b in zip(rs, rs[1:])
+        )
+    # the first |strata| positions are rank-1 docs of distinct strata
+    head = sorted(rows, key=lambda r: r["curriculum_pos"])[:n_strata]
+    assert {r["stratum_rank"] for r in head} == {1}
+    assert len({r["lang"] for r in head}) == n_strata
+    # every difficulty tier is stratum-balanced while strata last
+    tier1 = Counter(r["lang"] for r in rows if r["stratum_rank"] == 1)
+    assert all(v == 1 for v in tier1.values())
