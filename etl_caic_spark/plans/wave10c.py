@@ -1,0 +1,272 @@
+"""Round-9 wave G (file wave10c): gradient-boosted regression stumps —
+sequential ensemble training as a static two-round plan.
+
+``ml_boosted_stumps`` extends the ML family past the single
+ml_decision_stump (round6c) to BOOSTING: round 1 fits the best
+regression stump to the target, round 2 fits a second stump to the
+round-1 residuals (classic L2 gradient boosting with learning rate 1),
+and both rounds' split decisions plus the residual size they leave
+behind are published. Everything is engine-exact:
+
+- target and residuals live in integer cents; stump leaves are
+  round(S/n) — one rounded division per leaf — so residuals STAY
+  integer after the update;
+- the split search runs on per-feature value HISTOGRAMS (quantity
+  1..50, discount-pct 0..10 — <= 61 candidate thresholds total), with
+  cumulative (n_L, S_L) from a self-join on the tiny domain frame, the
+  stat_kruskal_wallis posture: the fact table is touched once per
+  round, no row is ever sorted;
+- the variance-reduction score S_L^2/n_L + S_R^2/n_R is a per-row
+  scalar over exact BIGINTs (operands exactly representable in DOUBLE;
+  identical IEEE rounding both engines), argmax tie-broken by
+  (feature, threshold);
+- the best-split row is BROADCAST into the residual update (a CASE
+  over the 1-row dim) — the round-2 plan depends on round-1's learned
+  parameters without any driver-side collect.
+
+At 100 TB this is exactly how distributed GBDT implementations shape
+each boosting round (histogram-based split finding + partial-agg
+moments); depth-1 trees keep the demonstration oracled end-to-end.
+
+Reference parity: the reference (task.ts:88-189) has no ML surface —
+SURVEY §2.C extension mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_caic_spark.registry import register
+from etl_caic_spark.sources import load_table
+
+_BOOST_ROUNDS = 2
+
+_BOOST_SQL = """
+    WITH base AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+             CAST(round(l_quantity) AS BIGINT) AS f1,
+             CAST(round(l_discount * 100) AS BIGINT) AS f2
+      FROM lineitem
+    ),
+    stack1 AS (
+      SELECT 1 AS feature, f1 AS val, y AS t FROM base
+      UNION ALL
+      SELECT 2 AS feature, f2 AS val, y AS t FROM base
+    ),
+    hist1 AS (
+      SELECT feature, val,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS s
+      FROM stack1 GROUP BY 1, 2
+    ),
+    tot1 AS (
+      SELECT feature, CAST(sum(n) AS BIGINT) AS nt, CAST(sum(s) AS BIGINT) AS st,
+             CAST(max(val) AS BIGINT) AS vmax
+      FROM hist1 GROUP BY 1
+    ),
+    cand1 AS (
+      SELECT a.feature, a.val AS thr,
+             CAST(sum(b.n) AS BIGINT) AS nl, CAST(sum(b.s) AS BIGINT) AS sl,
+             CAST(min(t.nt) AS BIGINT) AS nt, CAST(min(t.st) AS BIGINT) AS st
+      FROM hist1 a
+      JOIN hist1 b ON b.feature = a.feature AND b.val <= a.val
+      JOIN tot1 t ON t.feature = a.feature
+      WHERE a.val < t.vmax
+      GROUP BY a.feature, a.val
+    ),
+    best1 AS (
+      SELECT feature, thr, nl, nt - nl AS nr,
+             CAST(round(CAST(sl AS DOUBLE) / nl) AS BIGINT) AS leaf_l,
+             CAST(round(CAST(st - sl AS DOUBLE) / (nt - nl)) AS BIGINT) AS leaf_r
+      FROM cand1
+      QUALIFY row_number() OVER (
+        ORDER BY CAST(sl AS DOUBLE) * sl / nl
+                 + CAST(st - sl AS DOUBLE) * (st - sl) / (nt - nl) DESC,
+                 feature, thr) = 1
+    ),
+    res1 AS (
+      SELECT b.y - CASE WHEN (best1.feature = 1 AND b.f1 <= best1.thr)
+                          OR (best1.feature = 2 AND b.f2 <= best1.thr)
+                        THEN best1.leaf_l ELSE best1.leaf_r END AS t,
+             b.f1, b.f2
+      FROM base b CROSS JOIN best1
+    ),
+    mae1 AS (
+      SELECT CAST(round(CAST(sum(abs(t)) AS DOUBLE) / count(*)) AS BIGINT)
+               AS mae FROM res1
+    ),
+    stack2 AS (
+      SELECT 1 AS feature, f1 AS val, t FROM res1
+      UNION ALL
+      SELECT 2 AS feature, f2 AS val, t FROM res1
+    ),
+    hist2 AS (
+      SELECT feature, val,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS s
+      FROM stack2 GROUP BY 1, 2
+    ),
+    tot2 AS (
+      SELECT feature, CAST(sum(n) AS BIGINT) AS nt, CAST(sum(s) AS BIGINT) AS st,
+             CAST(max(val) AS BIGINT) AS vmax
+      FROM hist2 GROUP BY 1
+    ),
+    cand2 AS (
+      SELECT a.feature, a.val AS thr,
+             CAST(sum(b.n) AS BIGINT) AS nl, CAST(sum(b.s) AS BIGINT) AS sl,
+             CAST(min(t.nt) AS BIGINT) AS nt, CAST(min(t.st) AS BIGINT) AS st
+      FROM hist2 a
+      JOIN hist2 b ON b.feature = a.feature AND b.val <= a.val
+      JOIN tot2 t ON t.feature = a.feature
+      WHERE a.val < t.vmax
+      GROUP BY a.feature, a.val
+    ),
+    best2 AS (
+      SELECT feature, thr, nl, nt - nl AS nr,
+             CAST(round(CAST(sl AS DOUBLE) / nl) AS BIGINT) AS leaf_l,
+             CAST(round(CAST(st - sl AS DOUBLE) / (nt - nl)) AS BIGINT) AS leaf_r
+      FROM cand2
+      QUALIFY row_number() OVER (
+        ORDER BY CAST(sl AS DOUBLE) * sl / nl
+                 + CAST(st - sl AS DOUBLE) * (st - sl) / (nt - nl) DESC,
+                 feature, thr) = 1
+    ),
+    res2 AS (
+      SELECT r.t - CASE WHEN (best2.feature = 1 AND r.f1 <= best2.thr)
+                          OR (best2.feature = 2 AND r.f2 <= best2.thr)
+                        THEN best2.leaf_l ELSE best2.leaf_r END AS t
+      FROM res1 r CROSS JOIN best2
+    ),
+    mae2 AS (
+      SELECT CAST(round(CAST(sum(abs(t)) AS DOUBLE) / count(*)) AS BIGINT)
+               AS mae FROM res2
+    )
+    SELECT CAST(1 AS INT) AS round, b.feature, b.thr, b.nl AS n_left,
+           b.nr AS n_right, b.leaf_l, b.leaf_r, m.mae AS mae_after_cents
+    FROM best1 b CROSS JOIN mae1 m
+    UNION ALL
+    SELECT CAST(2 AS INT) AS round, b.feature, b.thr, b.nl, b.nr,
+           b.leaf_l, b.leaf_r, m.mae
+    FROM best2 b CROSS JOIN mae2 m
+"""
+
+
+def _best_split(frame: DataFrame) -> DataFrame:
+    """frame(t, f1, f2) -> 1-row (feature, thr, nl, nr, leaf_l, leaf_r)
+    maximizing the variance-reduction score over the histogram-derived
+    candidate thresholds."""
+    stack = frame.select(
+        F.lit(1).alias("feature"), F.col("f1").alias("val"), "t"
+    ).unionAll(frame.select(F.lit(2).alias("feature"), F.col("f2").alias("val"), "t"))
+    hist = stack.groupBy("feature", "val").agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("t").cast("bigint").alias("s")
+    )
+    tot = hist.groupBy("feature").agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("s").cast("bigint").alias("st"),
+        F.max("val").cast("bigint").alias("vmax"),
+    )
+    a, b = hist.alias("a"), hist.alias("b")
+    cand = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.feature") == F.col("a.feature"))
+            & (F.col("b.val") <= F.col("a.val")),
+        )
+        .groupBy(F.col("a.feature").alias("feature"), F.col("a.val").alias("thr"))
+        .agg(
+            F.sum("b.n").cast("bigint").alias("nl"),
+            F.sum("b.s").cast("bigint").alias("sl"),
+        )
+        .join(F.broadcast(tot), "feature")
+        .filter(F.col("thr") < F.col("vmax"))
+    )
+    score = (
+        F.col("sl").cast("double") * F.col("sl") / F.col("nl")
+        + (F.col("st") - F.col("sl")).cast("double")
+        * (F.col("st") - F.col("sl"))
+        / (F.col("nt") - F.col("nl"))
+    )
+    ranked = cand.select(
+        "feature",
+        "thr",
+        "nl",
+        (F.col("nt") - F.col("nl")).cast("bigint").alias("nr"),
+        F.round(F.col("sl").cast("double") / F.col("nl")).cast("bigint").alias("leaf_l"),
+        F.round((F.col("st") - F.col("sl")).cast("double") / (F.col("nt") - F.col("nl")))
+        .cast("bigint")
+        .alias("leaf_r"),
+        score.alias("score"),
+    )
+    # argmax over the <= 61-row candidate frame without a global window:
+    # min(struct(-score, feature, thr, payload)) is the deterministic
+    # (score DESC, feature, thr) pick
+    return ranked.agg(
+        F.min(
+            F.struct(
+                (-F.col("score")).alias("negscore"),
+                "feature",
+                "thr",
+                "nl",
+                "nr",
+                "leaf_l",
+                "leaf_r",
+            )
+        ).alias("w")
+    ).select(
+        F.col("w.feature").alias("feature"),
+        F.col("w.thr").alias("thr"),
+        F.col("w.nl").alias("nl"),
+        F.col("w.nr").alias("nr"),
+        F.col("w.leaf_l").alias("leaf_l"),
+        F.col("w.leaf_r").alias("leaf_r"),
+    )
+
+
+@register("ml_boosted_stumps", oracle=_BOOST_SQL, tags=("ml", "iterative", "scale"))
+def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of L2 gradient boosting with depth-1 trees on
+    lineitem (y = extended price cents; features quantity and
+    discount-pct) — module docstring for the exactness and scale
+    argument. Output: one row per round with the learned split, leaf
+    values, and the mean absolute residual the round leaves behind."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("t"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("f1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("f2"),
+    )
+    out = None
+    frame = base
+    for rnd in range(1, _BOOST_ROUNDS + 1):
+        best = _best_split(frame)
+        applied = frame.crossJoin(F.broadcast(best))
+        left = ((F.col("feature") == 1) & (F.col("f1") <= F.col("thr"))) | (
+            (F.col("feature") == 2) & (F.col("f2") <= F.col("thr"))
+        )
+        # localCheckpoint: the residual frame feeds three consumers
+        # (next round's two histogram scans + the mae reduce) — the
+        # iterative-plan lineage discipline shared with graph_hits
+        frame = applied.select(
+            (
+                F.col("t") - F.when(left, F.col("leaf_l")).otherwise(F.col("leaf_r"))
+            ).alias("t"),
+            "f1",
+            "f2",
+        ).localCheckpoint()
+        mae = frame.agg(
+            F.round(F.sum(F.abs(F.col("t"))).cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("mae_after_cents")
+        )
+        row = best.crossJoin(F.broadcast(mae)).select(
+            F.lit(rnd).cast("int").alias("round"),
+            "feature",
+            "thr",
+            F.col("nl").alias("n_left"),
+            F.col("nr").alias("n_right"),
+            "leaf_l",
+            "leaf_r",
+            "mae_after_cents",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

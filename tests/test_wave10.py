@@ -79,3 +79,59 @@ def test_curriculum_positions_unique_and_interleaved(spark, sf_dir):
     # every difficulty tier is stratum-balanced while strata last
     tier1 = Counter(r["lang"] for r in rows if r["stratum_rank"] == 1)
     assert all(v == 1 for v in tier1.values())
+
+
+def test_levene_invariants(spark, sf_dir):
+    row = SPECS["stat_levene"].fn(spark, sf_dir).collect()[0]
+    n_li = load_table(spark, sf_dir, "lineitem").count()
+    assert row["n"] == n_li
+    assert row["n_groups"] == 3
+    assert row["w_micro"] >= 0
+
+
+def test_impute_fills_with_nation_median(spark, sf_dir):
+    rows = SPECS["feat_impute_median_group"].fn(spark, sf_dir).collect()
+    cust = load_table(spark, sf_dir, "customer")
+    n = cust.count()
+    assert len(rows) == n
+    assert all(r["bal_cents"] is not None for r in rows)
+    n_missing = cust.filter(F.col("c_custkey") % 13 == 0).count()
+    assert sum(1 for r in rows if r["was_missing"]) == n_missing
+    # spot-check one nation: the filled value is the lower median of the
+    # present values
+    nat = cust.select("c_nationkey").first()["c_nationkey"]
+    present = sorted(
+        r["bal"]
+        for r in cust.filter(
+            (F.col("c_nationkey") == nat) & (F.col("c_custkey") % 13 != 0)
+        )
+        .select(F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"))
+        .collect()
+    )
+    expect = present[(len(present) + 1) // 2 - 1]
+    missing_keys = {
+        r["c_custkey"]
+        for r in cust.filter(
+            (F.col("c_nationkey") == nat) & (F.col("c_custkey") % 13 == 0)
+        )
+        .select("c_custkey")
+        .collect()
+    }
+    filled = {r["bal_cents"] for r in rows if r["c_custkey"] in missing_keys}
+    assert filled == {expect}, (filled, expect)
+
+
+def test_boosted_stumps_reduce_residual(spark, sf_dir):
+    rows = sorted(
+        SPECS["ml_boosted_stumps"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == [1, 2]
+    n_li = load_table(spark, sf_dir, "lineitem").count()
+    for r in rows:
+        assert r["n_left"] + r["n_right"] == n_li
+        assert r["n_left"] > 0 and r["n_right"] > 0
+        assert r["leaf_l"] != r["leaf_r"]  # the split separates means
+        assert r["feature"] in (1, 2)
+    # each boosting round shrinks the mean absolute residual
+    assert rows[1]["mae_after_cents"] < rows[0]["mae_after_cents"]
