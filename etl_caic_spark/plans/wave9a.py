@@ -47,7 +47,7 @@ from etl_caic_spark.sources import load_table
 # stat_kendall_tau
 # --------------------------------------------------------------------------
 
-_KT_BLOCKS = 16
+_KT_BLOCKS = 16  # FLOOR for the adaptive block count B ~ sqrt(n)
 
 _KENDALL_SQL = """
     WITH rev AS (
@@ -95,7 +95,12 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     The three classes are disjoint and exhaustive, every join is an
     equi-join on a block id, and the per-block pair work is n^2/B —
     balanced because blocks are rank-quantiles, immune to value skew.
-    The oracle is the O(n^2) declarative definition."""
+    B adapts to ~sqrt(n) (power of two, floor 16; one bounded single-row
+    count fixes it before planning — B only changes the plan, never the
+    answer, since the oracle is the O(n^2) declarative definition with
+    no blocks at all). tools/scale_probe_wave9.py measures why: at 30x
+    fixture scale the same-block join runs 32.9 s with B=16 frozen but
+    5.6 s at B=64 and 2.4 s at B=256 — the n^2/B term is THE knob."""
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
@@ -112,10 +117,13 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_global_order(rx, ["rev_cents", "c_custkey"], rn_col="ry").select(
         "rx", "ry"
     )
-    n_row = ranked.agg(F.count("*").cast("bigint").alias("n"))
     # one checkpoint: the blocked frame feeds four consumers (cells, D2,
     # D3 twice via aliases) — without it each would re-run both prefix
-    # ranks
+    # ranks. The count() it enables is also what sizes B ~ sqrt(n).
+    ranked = ranked.localCheckpoint()
+    n_val = ranked.count()  # bounded collect: one scalar
+    blocks = max(_KT_BLOCKS, 1 << max(0, (n_val.bit_length() + 1) // 2))
+    n_row = ranked.agg(F.count("*").cast("bigint").alias("n"))
     blocked = (
         ranked.crossJoin(F.broadcast(n_row))
         .select(
@@ -123,8 +131,8 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ry",
             # integer div — a double division could land an exact block
             # boundary on x.9999... and mis-bucket one row
-            F.expr(f"((rx - 1) * {_KT_BLOCKS}) div n").alias("bx"),
-            F.expr(f"((ry - 1) * {_KT_BLOCKS}) div n").alias("by"),
+            F.expr(f"((rx - 1) * {blocks}) div n").alias("bx"),
+            F.expr(f"((ry - 1) * {blocks}) div n").alias("by"),
         )
         .localCheckpoint()
     )
