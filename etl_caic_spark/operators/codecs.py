@@ -25,6 +25,10 @@ Supported subset (documented, asserted):
   (9→12-bit codes, LSB-first packing, CLEAR-code table resets); decode
   also accepts GIF89a with extension blocks (skipped) and arbitrary
   palettes; no interlace.
+- TIFF: baseline uncompressed 8-bit greyscale (BlackIsZero) and RGB;
+  encode is little-endian single-strip with an ascending-tag IFD and
+  the out-of-line 3xSHORT BitsPerSample array RGB requires; decode
+  accepts either byte order and any strip layout.
 
 Scale: codecs are per-row NumPy kernels invoked inside Arrow-batched
 mapInPandas — partition-parallel, no driver involvement, payload bytes
@@ -492,3 +496,114 @@ def decode_gif(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
     raise ValueError("GIF missing image data")
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline, uncompressed, little-endian)
+# ---------------------------------------------------------------------------
+
+_TIFF_TAGS = {
+    256: "width",
+    257: "height",
+    258: "bits",
+    259: "compression",
+    262: "photometric",
+    273: "strip_offsets",
+    277: "spp",
+    278: "rows_per_strip",
+    279: "strip_counts",
+}
+
+
+def encode_tiff(arr: np.ndarray) -> bytes:
+    """uint8 array (h, w) grey or (h, w, 3) RGB → baseline TIFF bytes
+    (little-endian 'II', uncompressed, one strip, single IFD; grey is
+    PhotometricInterpretation=1 BlackIsZero, RGB is =2 with
+    SamplesPerPixel=3 and an out-of-line 3xSHORT BitsPerSample array,
+    as the 4-byte IFD value slot requires)."""
+    if arr.dtype != np.uint8:
+        raise ValueError(f"encode_tiff wants uint8, got {arr.dtype}")
+    if arr.ndim == 2:
+        spp, photometric = 1, 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        spp, photometric = 3, 2
+    else:
+        raise ValueError(f"encode_tiff wants (h,w) or (h,w,3), got {arr.shape}")
+    h, w = arr.shape[0], arr.shape[1]
+    strip = arr.tobytes()  # top-down interleaved, TIFF native order
+    ifd_off = 8 + len(strip)
+    n_entries = 9
+    extra_off = ifd_off + 2 + 12 * n_entries + 4
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHI", tag, typ, count) + struct.pack("<I", value)
+
+    extra = b""
+    if spp == 3:
+        bits_value = extra_off  # offset of the 3xSHORT array below
+        extra = struct.pack("<HHH", 8, 8, 8) + b"\x00\x00"  # word-align
+    else:
+        bits_value = 8
+    # tags must be ascending per the TIFF6 spec
+    ifd = struct.pack("<H", n_entries)
+    ifd += entry(256, 4, 1, w)
+    ifd += entry(257, 4, 1, h)
+    ifd += entry(258, 3, spp, bits_value)
+    ifd += entry(259, 3, 1, 1)  # no compression
+    ifd += entry(262, 3, 1, photometric)
+    ifd += entry(273, 4, 1, 8)  # strip starts right after the header
+    ifd += entry(277, 3, 1, spp)
+    ifd += entry(278, 4, 1, h)
+    ifd += entry(279, 4, 1, len(strip))
+    ifd += struct.pack("<I", 0)  # no next IFD
+    header = b"II" + struct.pack("<HI", 42, ifd_off)
+    return header + strip + ifd + extra
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """TIFF bytes → uint8 array (h, w) grey or (h, w, 3) RGB. Supports
+    baseline uncompressed 8-bit grey (BlackIsZero) and RGB in either
+    byte order ('II'/'MM'), any strip layout."""
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte order mark)")
+    magic, ifd_off = struct.unpack(bo + "HI", data[2:8])
+    if magic != 42:
+        raise ValueError(f"not a TIFF (magic {magic})")
+    (n_entries,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
+    tags: dict[str, list[int]] = {}
+    type_size = {1: 1, 3: 2, 4: 4}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack(bo + "HHI", data[off : off + 8])
+        name = _TIFF_TAGS.get(tag)
+        if name is None or typ not in type_size:
+            continue
+        total = type_size[typ] * count
+        voff = off + 8 if total <= 4 else struct.unpack(bo + "I", data[off + 8 : off + 12])[0]
+        vals = list(
+            struct.unpack(bo + str(count) + type_fmt[typ], data[voff : voff + total])
+        )
+        tags[name] = vals
+    w, h = tags["width"][0], tags["height"][0]
+    spp = tags.get("spp", [1])[0]
+    bits = tags.get("bits", [8])
+    comp = tags.get("compression", [1])[0]
+    photometric = tags.get("photometric", [1])[0]
+    if comp != 1 or any(b != 8 for b in bits) or photometric not in (1, 2):
+        raise ValueError(
+            f"unsupported TIFF: bits={bits} compression={comp} "
+            f"photometric={photometric} (supported: uncompressed 8-bit "
+            "grey/RGB)"
+        )
+    offs = tags["strip_offsets"]
+    counts = tags["strip_counts"]
+    body = b"".join(data[o : o + c] for o, c in zip(offs, counts))
+    pix = np.frombuffer(body, np.uint8, count=w * h * spp)
+    if spp == 1:
+        return pix.reshape(h, w).copy()
+    return pix.reshape(h, w, 3).copy()

@@ -245,3 +245,52 @@ def test_wav_roundtrip(channels):
 def test_wav_rejects_unsupported():
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"nope" * 10)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (7, 11), (13, 5, 3), (1, 9, 3)])
+def test_tiff_roundtrip(shape):
+    from etl_caic_spark.operators.codecs import decode_tiff, encode_tiff
+
+    a = _rng(9).randint(0, 256, size=shape).astype(np.uint8)
+    out = decode_tiff(encode_tiff(a))
+    assert out.shape == a.shape and (out == a).all()
+
+
+def test_tiff_decodes_big_endian_and_multi_strip():
+    """The encoder is single-strip little-endian; the decoder contract
+    is wider — either byte order, any strip layout. Build an MM
+    two-strip grey file by hand and decode it."""
+    import struct
+
+    from etl_caic_spark.operators.codecs import decode_tiff
+
+    a = _rng(10).randint(0, 256, size=(4, 6)).astype(np.uint8)
+    strips = [a[:2].tobytes(), a[2:].tobytes()]
+    off1, off2 = 8, 8 + len(strips[0])
+    ifd_off = off2 + len(strips[1])
+
+    def entry(tag, typ, count, value):
+        return struct.pack(">HHI", tag, typ, count) + struct.pack(">I", value)
+
+    extra_off = ifd_off + 2 + 12 * 9 + 4
+    ifd = struct.pack(">H", 9)
+    ifd += entry(256, 4, 1, 6) + entry(257, 4, 1, 4) + entry(258, 3, 1, 8 << 16)
+    ifd += entry(259, 3, 1, 1 << 16) + entry(262, 3, 1, 1 << 16)
+    ifd += entry(273, 4, 2, extra_off) + entry(277, 3, 1, 1 << 16)
+    ifd += entry(278, 4, 1, 2) + entry(279, 4, 2, extra_off + 8)
+    ifd += struct.pack(">I", 0)
+    extra = struct.pack(">II", off1, off2) + struct.pack(
+        ">II", len(strips[0]), len(strips[1])
+    )
+    data = (
+        b"MM" + struct.pack(">HI", 42, ifd_off) + strips[0] + strips[1] + ifd + extra
+    )
+    out = decode_tiff(data)
+    assert out.shape == a.shape and (out == a).all()
+
+
+def test_tiff_rejects_unsupported():
+    from etl_caic_spark.operators.codecs import decode_tiff
+
+    with pytest.raises(ValueError, match="byte order"):
+        decode_tiff(b"XX" + b"\x00" * 20)
