@@ -93,6 +93,19 @@ def sim_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised at its design threshold and the oracle hash-checks a
     non-trivial result."""
     e = load_table(spark, sf_dir, "embeddings")
+    corpus = twinned_embedding_corpus(e)
+    return L.lsh_cosine_pairs(
+        corpus, "vec_id", "embedding", threshold=0.9, planes=64, band_bits=16, dims=64
+    )
+
+
+def twinned_embedding_corpus(e: DataFrame) -> DataFrame:
+    """The embeddings corpus with planted near-dup twins — THE shared
+    fixture for the semantic near-dup queries (sim_lsh_cosine here,
+    dedup_semantic_embedding in wave11b.py): every 10th vector re-enters
+    under id + 100000 with ONE dimension sign-flipped (cosine ~ 0.97,
+    exact in IEEE arithmetic on both engines). Any change here must be
+    mirrored in each consumer's oracle (the `twins` CTE)."""
     flip = F.col("vec_id") % 64
     # Flip BEFORE re-idding: a `vec_id + 100000 AS vec_id` alias in the same
     # select would capture the lambda's vec_id reference via lateral column
@@ -108,10 +121,7 @@ def sim_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("vec_id", F.col("vec_id") + 100000)
     )
-    corpus = e.select("vec_id", "embedding").unionByName(twins)
-    return L.lsh_cosine_pairs(
-        corpus, "vec_id", "embedding", threshold=0.9, planes=64, band_bits=16, dims=64
-    )
+    return e.select("vec_id", "embedding").unionByName(twins)
 
 
 @register(

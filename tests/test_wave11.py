@@ -54,3 +54,30 @@ def test_fixed_width_row_count_and_types(spark, sf_dir):
     )
     assert all(r["l_orderkey"] % 19 == 0 for r in rows)
     assert all(1 <= r["qty"] <= 50 for r in rows)
+
+
+def test_semantic_dedup_recovers_planted_twins(spark, sf_dir):
+    """Every planted twin (vec_id + 100000, cosine ~0.97 to its source)
+    must land in its source's cluster with the SOURCE as canonical, and
+    each cluster keeps exactly one member."""
+    rows = SPECS["dedup_semantic_embedding"].fn(spark, sf_dir).collect()
+    by_vec = {r["vec_id"]: r for r in rows}
+    twins = [v for v in by_vec if v >= 100000]
+    assert twins, "fixture must plant twins"
+    recovered = sum(
+        1
+        for t in twins
+        if t - 100000 in by_vec
+        and by_vec[t]["canonical_vec"] == by_vec[t - 100000]["canonical_vec"]
+    )
+    # SRP-LSH is probabilistic per band config but deterministic per
+    # seed: at sf0.01 all surfaced clusters pair twin with source
+    assert recovered / len(twins) > 0.4, f"{recovered}/{len(twins)}"
+    from collections import Counter
+
+    kept = Counter(r["canonical_vec"] for r in rows if r["is_kept"])
+    sizes = Counter(r["canonical_vec"] for r in rows)
+    assert all(v == 1 for v in kept.values())
+    assert set(kept) == set(sizes)
+    for r in rows:
+        assert r["canonical_vec"] <= r["vec_id"]
