@@ -31,7 +31,6 @@ from pyspark.sql import functions as F
 
 from etl_caic_spark.operators import similarity as S
 from etl_caic_spark.operators.micronat import iln
-from etl_caic_spark.operators.prefix import with_global_order
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 
@@ -109,6 +108,25 @@ _RRF_SQL = f"""
 _iln = iln  # shared micro-nat integer log (operators/micronat.py)
 
 
+def _pool_rank(pool: DataFrame, score_col: str, rank_name: str) -> DataFrame:
+    """Rank a TakeOrderedAndProject candidate pool (<= _RRF_CAND rows) by
+    (score desc, doc_id asc) WITHOUT any window: rank = 1 + count of
+    strictly-better pool members, via a broadcast self-join — constant
+    work on the N-bounded frame, and the query plan carries no Window
+    operator at all. Equal to row_number because the tiebreak makes the
+    order total."""
+    pa, pb = pool.alias("pa"), pool.alias("pb")
+    better = (F.col(f"pb.{score_col}") > F.col(f"pa.{score_col}")) | (
+        (F.col(f"pb.{score_col}") == F.col(f"pa.{score_col}"))
+        & (F.col("pb.doc_id") < F.col("pa.doc_id"))
+    )
+    return (
+        pa.join(F.broadcast(pb), better, "left")
+        .groupBy(F.col("pa.doc_id").alias("doc_id"))
+        .agg((F.count(F.col("pb.doc_id")) + 1).cast("bigint").alias(rank_name))
+    )
+
+
 @register("rag_rrf_fusion", oracle=_RRF_SQL, tags=("retrieval", "llm", "similarity"))
 def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval by reciprocal-rank fusion (k=60): a lexical
@@ -125,10 +143,10 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the embeddings scan for the semantic leg. Each leg keeps only its
     top-200 candidates via TakeOrderedAndProject (no global sort — see
     _RRF_CAND for the proof that 200 is deep enough for exact top-20
-    fusion), and ranks within the 200-row pools come from the
-    range-partitioned prefix construction (operators/prefix.py), so no
-    unpartitioned WindowExec exists at any corpus size; the fused frame
-    is N-bounded, not corpus-bounded."""
+    fusion), and ranks within the 200-row pools come from a broadcast
+    count-smaller self-join (_pool_rank — constant work on the
+    N-bounded frame), so the plan carries NO Window operator at all at
+    any corpus size; the fused frame is N-bounded, not corpus-bounded."""
     d = load_table(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
@@ -156,12 +174,7 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w").cast("bigint").alias("lex_micro"))
     )
     lex_top = lex.orderBy(F.desc("lex_micro"), F.asc("doc_id")).limit(_RRF_CAND)
-    lrank = with_global_order(
-        lex_top,
-        [F.col("lex_micro").desc(), F.col("doc_id").asc()],
-        rn_col="lex_rank",
-        num_partitions=4,
-    ).select("doc_id", "lex_rank")
+    lrank = _pool_rank(lex_top, "lex_micro", "lex_rank")
     emb = S.with_norm(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("_vec").alias("q_vec"), F.col("_norm").alias("q_norm")
@@ -174,12 +187,7 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cosine"),
     )
     sem_top = sem_scores.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(_RRF_CAND)
-    srank = with_global_order(
-        sem_top,
-        [F.col("cosine").desc(), F.col("doc_id").asc()],
-        rn_col="sem_rank",
-        num_partitions=4,
-    ).select("doc_id", "sem_rank")
+    srank = _pool_rank(sem_top, "cosine", "sem_rank")
     fused = srank.join(lrank, "doc_id", "full").select(
         "doc_id",
         "lex_rank",

@@ -72,14 +72,13 @@ def test_originals_still_flag_their_caveat(spark, sf_dir):
 @pytest.mark.parametrize(
     "name",
     [
-        "rag_rrf_fusion",
         "analytics_gini",
         "stat_spearman",
         "analytics_skyline",
     ],
 )
 def test_r9_rewritten_anchors_have_no_global_window(spark, sf_dir, name):
-    """The four r8 queries that shipped corpus/customer-grain GLOBAL rank
+    """The r8 queries that shipped corpus/customer-grain GLOBAL rank
     windows were rewritten in-place on operators/prefix.py (r8 verdict
     ask #2): every window in their plans must now be partitioned (by the
     range-partition id _gid), i.e. no `WindowExec: No Partition Defined`
@@ -91,3 +90,11 @@ def test_r9_rewritten_anchors_have_no_global_window(spark, sf_dir, name):
         assert "_gid" in spec, (
             f"{name}: window not partitioned by _gid:\n{spec}"
         )
+
+
+def test_rrf_fusion_is_windowless(spark, sf_dir):
+    """rag_rrf_fusion went further than partitioned windows: pool ranks
+    come from a broadcast count-smaller self-join over the N-bounded
+    candidate pools, so the plan carries NO window operator at all."""
+    plan = _optimized_plan(SPECS["rag_rrf_fusion"].fn(spark, sf_dir))
+    assert "windowspecdefinition" not in plan
