@@ -167,13 +167,20 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject, and the exact rerank touches only the
     broadcast 100-row shortlist."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sub = emb.select(
-        "vec_id", F.posexplode("embedding").alias("d", "xf")
-    ).select(
-        "vec_id",
-        F.expr(f"d div {_PQ_SUBDIM}").alias("s"),
-        "d",
-        F.round(F.col("xf").cast("double") * 1e6).cast("bigint").alias("x"),
+    # localCheckpoint: the quantized coordinate stream feeds five
+    # consumers (anchor frame, two assignment rounds, the query slice,
+    # the exact rerank) — without it each re-runs scan+posexplode; the
+    # materialized frame is |vectors| x dims x 4 columns, the same
+    # bounded-intermediate class as the curation pipeline's checkpoints
+    sub = (
+        emb.select("vec_id", F.posexplode("embedding").alias("d", "xf"))
+        .select(
+            "vec_id",
+            F.expr(f"d div {_PQ_SUBDIM}").alias("s"),
+            "d",
+            F.round(F.col("xf").cast("double") * 1e6).cast("bigint").alias("x"),
+        )
+        .localCheckpoint()
     )
     ids = emb.select("vec_id").distinct()
     hashed = ids.select(

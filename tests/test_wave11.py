@@ -81,3 +81,28 @@ def test_semantic_dedup_recovers_planted_twins(spark, sf_dir):
     assert set(kept) == set(sizes)
     for r in rows:
         assert r["canonical_vec"] <= r["vec_id"]
+
+
+def test_ece_consistent_with_calibration_bins(spark, sf_dir):
+    """ECE must equal the bin-table recomputation exactly (the 1000*N
+    fraction-clearing identity)."""
+    e = SPECS["eval_ece"].fn(spark, sf_dir).collect()[0]
+    bins = SPECS["eval_calibration_bins"].fn(spark, sf_dir).collect()
+    gap = sum(abs(1000 * b["positives"] - b["sum_prob_milli"]) for b in bins)
+    n = sum(b["n"] for b in bins)
+    assert e["n"] == n
+    assert e["abs_gap_milli"] == gap
+    assert e["ece_micro"] == round(gap * 1e6 / (1000 * n))
+    assert 0 <= e["ece_micro"] <= 1000000
+
+
+def test_friedman_rank_identities(spark, sf_dir):
+    row = SPECS["stat_friedman"].fn(spark, sf_dir).collect()[0]
+    n, k = row["n"], row["k"]
+    assert (n, k) == (7, 3)
+    # sum over treatments of R_j is the fixed total n*k(k+1)/2, so
+    # rsq is bounded by the extremes of the rank allocation
+    min_rsq = k * (n * (k + 1) / 2) ** 2  # all treatments tied on avg
+    max_rsq = n * n * k * (k + 1) * (2 * k + 1) / 6  # one order every block
+    assert min_rsq <= row["rsq"] <= max_rsq
+    assert row["q_micro"] >= 0
