@@ -36,7 +36,7 @@ surface — SURVEY §2.C extension mandate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_caic_spark.operators.prefix import with_global_order
@@ -122,7 +122,9 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranks. The count() it enables is also what sizes B ~ sqrt(n).
     ranked = ranked.localCheckpoint()
     n_val = ranked.count()  # bounded collect: one scalar
-    blocks = max(_KT_BLOCKS, 1 << max(0, (n_val.bit_length() + 1) // 2))
+    # B ~ sqrt(n), power of two, floor 16, cap 4096 (the dense D1
+    # lattice below is B^2 rows — 16.7M at the cap, distributed)
+    blocks = min(4096, max(_KT_BLOCKS, 1 << max(0, (n_val.bit_length() + 1) // 2)))
     n_row = ranked.agg(F.count("*").cast("bigint").alias("n"))
     blocked = (
         ranked.crossJoin(F.broadcast(n_row))
@@ -136,18 +138,48 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    cells = blocked.groupBy("bx", "by").agg(F.count("*").cast("bigint").alias("cnt"))
-    ca, cb = cells.alias("ca"), cells.alias("cb")
-    d1 = (
-        ca.join(
-            F.broadcast(cb),
-            (F.col("ca.bx") < F.col("cb.bx")) & (F.col("ca.by") > F.col("cb.by")),
-        )
-        .agg(
-            F.coalesce(F.sum(F.col("ca.cnt") * F.col("cb.cnt")), F.lit(0))
-            .cast("bigint")
-            .alias("d1")
-        )
+    # D1 over the BxB cell matrix in O(B^2) via two PARTITIONED
+    # cumulative sums on the DENSE lattice — a pairwise cell join would
+    # be B^4 comparisons, which the adaptive B turns into the dominant
+    # cost (measured: a B=512 cell cross-join stalled the 100x probe;
+    # this form runs it in seconds). The lattice densification matters:
+    # cumulative reads at (bx', by) must exist even when no point
+    # landed in that exact cell.
+    #   colcum(bx, by) = # points in column bx strictly BELOW row by
+    #   t(bx, by)      = # points with bx' > bx AND by' < by
+    #                  = suffix-over-bx sum of colcum at this by
+    #   D1             = sum over cells of cnt * t
+    cells = blocked.groupBy("bx", "by").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    lat = (
+        spark.range(blocks)
+        .select(F.col("id").alias("bx"))
+        .crossJoin(spark.range(blocks).select(F.col("id").alias("by")))
+    )
+    dense = lat.join(cells, ["bx", "by"], "left").select(
+        "bx", "by", F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt")
+    )
+    w_col = (
+        Window.partitionBy("bx")
+        .orderBy("by")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    colcum = dense.withColumn(
+        "below", F.coalesce(F.sum("cnt").over(w_col), F.lit(0)).cast("bigint")
+    )
+    w_suf = (
+        Window.partitionBy("by")
+        .orderBy(F.desc("bx"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t_cell = colcum.withColumn(
+        "t", F.coalesce(F.sum("below").over(w_suf), F.lit(0)).cast("bigint")
+    )
+    d1 = t_cell.agg(
+        F.coalesce(F.sum(F.col("cnt") * F.col("t")), F.lit(0))
+        .cast("bigint")
+        .alias("d1")
     )
     ra, rb = blocked.alias("ra"), blocked.alias("rb")
     discord = (F.col("ra.rx") < F.col("rb.rx")) & (F.col("ra.ry") > F.col("rb.ry"))
