@@ -122,9 +122,13 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranks. The count() it enables is also what sizes B ~ sqrt(n).
     ranked = ranked.localCheckpoint()
     n_val = ranked.count()  # bounded collect: one scalar
-    # B ~ sqrt(n), power of two, floor 16, cap 4096 (the dense D1
-    # lattice below is B^2 rows — 16.7M at the cap, distributed)
-    blocks = min(4096, max(_KT_BLOCKS, 1 << max(0, (n_val.bit_length() + 1) // 2)))
+    # B ~ sqrt(n) (power of two, floor 16): the same-block joins do
+    # n^2/B ~ n^1.5 comparisons and the dense D1 lattice is B^2 ~ 2n
+    # rows — BOTH scale with the data, no quadratic tail. The 65536 cap
+    # only bounds the lattice for n beyond ~4e9 rank rows (past it the
+    # same-block term grows toward n^2/cap — raise the cap with the
+    # cluster, it is a plan knob, never an answer knob).
+    blocks = min(65536, max(_KT_BLOCKS, 1 << max(0, (n_val.bit_length() + 1) // 2)))
     n_row = ranked.agg(F.count("*").cast("bigint").alias("n"))
     blocked = (
         ranked.crossJoin(F.broadcast(n_row))
