@@ -106,3 +106,21 @@ def test_friedman_rank_identities(spark, sf_dir):
     max_rsq = n * n * k * (k + 1) * (2 * k + 1) / 6  # one order every block
     assert min_rsq <= row["rsq"] <= max_rsq
     assert row["q_micro"] >= 0
+
+
+def test_rouge_bounds_and_bleu_consistency(spark, sf_dir):
+    """ROUGE shares BLEU's pairing and clipped-count machinery: the
+    clipped unigram/bigram matches and hypothesis totals must agree
+    with eval_bleu_corpus's row exactly, and every metric sits in
+    [0, 1e6] with F1 between min(P, R) and max(P, R)."""
+    r = SPECS["eval_rouge_corpus"].fn(spark, sf_dir).collect()[0]
+    b = SPECS["eval_bleu_corpus"].fn(spark, sf_dir).collect()[0]
+    assert r["clip1"] == b["clip1"] and r["hyp1"] == b["tot1"]
+    assert r["clip2"] == b["clip2"] and r["hyp2"] == b["tot2"]
+    for k in ("rouge1_p_micro", "rouge1_r_micro", "rouge1_f1_micro",
+              "rouge2_p_micro", "rouge2_r_micro", "rouge2_f1_micro"):
+        assert 0 <= r[k] <= 1000000, (k, r[k])
+    for n in ("1", "2"):
+        p, rr, f1 = (r[f"rouge{n}_p_micro"], r[f"rouge{n}_r_micro"],
+                     r[f"rouge{n}_f1_micro"])
+        assert min(p, rr) - 1 <= f1 <= max(p, rr) + 1
