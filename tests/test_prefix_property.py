@@ -1,0 +1,100 @@
+"""Hypothesis property tests for operators/prefix.py and
+operators/concomp.py — the two round-9 workhorse operators — against
+brute-force Python references on arbitrary generated inputs (ties,
+negatives, singleton partitions, disconnected graphs, self-contained
+cliques). The oracle differentials certify them on the fixture
+distributions; these pin the operator CONTRACTS on adversarial shapes
+the fixtures never produce."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_caic_spark.operators.concomp import connected_components
+from etl_caic_spark.operators.prefix import with_global_order
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    parts=st.integers(min_value=1, max_value=7),
+)
+def test_with_global_order_matches_sorted_reference(spark, vals, parts):
+    """rn / cumsum / prevmax must equal the single-threaded sort, for
+    any partition count — including duplicate order keys broken by the
+    unique id."""
+    rows = [(v, w, i) for i, (v, w) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v int, w int, id int")
+    out = {
+        r["id"]: r
+        for r in with_global_order(
+            df,
+            ["v", "id"],
+            rn_col="rn",
+            cumsum_cols={"cw": "w"},
+            prevmax_cols={"pm": "w"},
+            num_partitions=parts,
+        ).collect()
+    }
+    ref = sorted(rows, key=lambda r: (r[0], r[2]))
+    cum, mx = 0, None
+    for rank, (v, w, i) in enumerate(ref, start=1):
+        got = out[i]
+        assert got["rn"] == rank
+        cum += w
+        assert got["cw"] == cum
+        assert got["pm"] == mx  # EXCLUSIVE running max (None on first row)
+        mx = w if mx is None else max(mx, w)
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Star contraction must agree with a textbook union-find on any
+    graph, with the minimum node id as the representative."""
+    edges = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(sorted(set(edges)), "a bigint, b bigint")
+    got = {
+        r["v"]: r["component"] for r in connected_components(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    ref = {n: find(n) for n in nodes}
+    assert got == ref
