@@ -176,3 +176,33 @@ def test_ngram_novelty_detects_planted_footer(spark, sf_dir):
     # streams, so the median novelty is high
     vals = sorted(r["novelty_micro"] for r in rows)
     assert vals[len(vals) // 2] > 500000
+
+
+def test_pass_at_k_matches_comb_reference(spark, sf_dir):
+    """Recompute pass@k from the per-task pass counts with math.comb —
+    the registered query's lookup table must agree exactly — and pin
+    the metric's monotonicity (pass@5 >= pass@1)."""
+    from math import comb
+
+    from pyspark.sql import functions as F
+
+    row = SPECS["eval_pass_at_k"].fn(spark, sf_dir).collect()[0]
+    emb = load_table(spark, sf_dir, "embeddings")
+    cs = [
+        r["c"]
+        for r in emb.select(
+            F.expr("vec_id div 10").alias("task"),
+            F.when((F.col("vec_id") * 7 + F.col("label")) % 4 == 0, 1)
+            .otherwise(0)
+            .alias("ok"),
+        )
+        .groupBy("task")
+        .agg(F.sum("ok").alias("c"), F.count("*").alias("n"))
+        .filter(F.col("n") == 10)
+        .collect()
+    ]
+    assert row["n_tasks"] == len(cs)
+    for k, col in ((1, "pass_at_1_micro"), (5, "pass_at_5_micro")):
+        num = sum(comb(10, k) - comb(10 - c, k) for c in cs)
+        assert row[col] == round(num * 1e6 / (comb(10, k) * len(cs)))
+    assert row["pass_at_5_micro"] >= row["pass_at_1_micro"]
