@@ -49,15 +49,17 @@ def clamped_shuffle(spark: SparkSession, cap: int = _REPLAY_SHUFFLE_CAP):
 
 def cached_event_shards(spark: SparkSession, sf_dir: str, name: str, writer):
     """Materialize a deterministic re-shard of a fixture table once per
-    (shard scheme, sf_dir) and reuse it across runs — the re-shard is
-    pure fixed cost (same bytes every run), so repeated replays
-    (correctness pass, bench, tests) shouldn't pay the write again.
-    ``writer(path)`` produces the parquet dir; a _SUCCESS marker gates
-    reuse. Keyed by the sf_dir basename (so sf0.01 and sf0.1 never
-    share a cache entry) AND a fingerprint of the source fixture
+    (shard scheme, sf_dir) and reuse it across the PROCESS's runs — the
+    re-shard is pure fixed cost (same bytes every run), so repeated
+    replays within a verification process shouldn't pay the write
+    again. ``writer(path)`` produces the parquet dir; a _SUCCESS marker
+    gates reuse. Keyed by the sf_dir basename (so sf0.01 and sf0.1
+    never share a cache entry) AND a fingerprint of the source fixture
     (events.parquet size + mtime): if the driver regenerates the
     fixture, the key changes and the stale shards are rebuilt instead
-    of silently replayed (round-7 ADVICE item)."""
+    of silently replayed (round-7 ADVICE item). scratch_path's pid
+    suffix (round 9) scopes the cache per process — concurrent
+    verification processes used to race this dir's rmtree-rebuild."""
     tag = os.path.basename(os.path.normpath(sf_dir))
     src = os.path.join(sf_dir, "events.parquet")
     try:

@@ -34,5 +34,15 @@ def scratch_dir(prefix: str) -> str:
 
 
 def scratch_path(name: str) -> str:
+    """Per-PROCESS scratch directory for write->read roundtrip queries.
+
+    The pid suffix matters: two verification processes running the same
+    sink query concurrently (e.g. pytest's oracle differential and
+    tools/driver_sim.py) would otherwise write and read the SAME fixed
+    path and transiently corrupt each other — observed as a one-off
+    row-count mismatch in a round-9 gate run. Within one process the
+    path is stable (time-travel / incremental-refresh queries that
+    re-read their own earlier writes keep working); across processes
+    each run rebuilds its own copy."""
     os.makedirs(REPO_TMP, exist_ok=True)
-    return os.path.join(REPO_TMP, name)
+    return os.path.join(REPO_TMP, f"{name}_p{os.getpid()}")
