@@ -1,25 +1,37 @@
-"""Distributed connected components by star contraction — THE shared
-derivation (consumers: graph_connected_components plans/wave9c.py,
-dedup_cluster_canonical plans/wave9d.py).
+"""Distributed connected components by star contraction + pointer
+doubling — THE shared derivation (consumers: graph_connected_components
+plans/wave9c.py, dedup_cluster_canonical plans/wave9d.py,
+dedup_semantic_embedding plans/wave11b.py).
 
 Plain hash-min label propagation needs DIAMETER rounds (13 on the
 sf0.1 event graph — probed; the classic CC scale trap). This operator
-instead contracts the edge frame by the current labels every round and
-runs min-label over the CONTRACTED graph, the star-contraction scheme
-of the Shiloach-Vishkin / "Connected Components in MapReduce" family:
-label chains collapse geometrically (5 rounds at sf0.1, 3 at sf0.01 —
-probed against plain propagation's 13/8) and the contracted edge frame
-STRICTLY SHRINKS — round 1 is edge-scale, round 2 is representative-
-scale, the tail rounds are tiny.
+contracts the edge frame by the current labels every round and runs
+min-label over the CONTRACTED graph, the star-contraction scheme of
+the Shiloach-Vishkin / "Connected Components in MapReduce" family —
+and, critically, SHORTCUTS the per-round relabel map to its fixpoint
+by pointer doubling before applying it. Without the shortcut a min
+step on a path graph moves every label by exactly one hop
+(newlabel(v) = v-1), so convergence is linear in the chain length — a
+200-node path needs 199 rounds, and duplicate chains A~B~C~... are
+exactly the motif dedup clustering exists for. With doubling the
+relabel map (rep -> newlabel, strictly DECREASING along pointers, so
+an acyclic forest) collapses a length-L chain in ceil(log2 L)
+self-compositions: map := map(map) squares the jump distance each
+iteration. Every relabel join runs at REPRESENTATIVE scale (the map
+has one row per live label, shrinking every round), never edge scale.
 
-Convergence is detected, not assumed: the loop stops when the
-contracted edge set is empty (a one-row take(1) per round — the same
-bounded-collect class as ml_logreg_gd's gradient step). The 64-round
-cap is unreachable by construction (contraction at least halves the
-representative count per round, so 64 rounds cover 2^64 nodes); it
-bounds the plan, it is not a tuning knob. lab/carcs localCheckpoint per
-round — the iterative-plan lineage discipline shared with graph_hits
-(plans/wave8c.py).
+Convergence is detected, not assumed: the outer loop stops when the
+contracted edge set is empty and the inner loop when no pointer moved
+(one-row take(1) per iteration — the same bounded-collect class as
+ml_logreg_gd's gradient step). Both caps are backed by geometric
+decay (doubling covers 2^64-length chains in 64 jumps; a fully
+shortcut min round at least halves the live-component-graph diameter)
+and both raise RuntimeError instead of returning silently if ever
+exhausted — a wrong-labels return is never an option
+(tests/test_prefix_property.py pins a 220-node path against
+union-find, the exact regime the unshortcut form could not converge
+on). lab/carcs/map localCheckpoint per round — the iterative-plan
+lineage discipline shared with graph_hits (plans/wave8c.py).
 """
 
 from __future__ import annotations
@@ -28,6 +40,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MAX_ROUNDS = 64
+MAX_JUMPS = 64
+
+
+def _shortcut(replab: DataFrame) -> DataFrame:
+    """Pointer-double ``rep -> newlabel`` to its fixpoint: afterwards
+    every rep points at the root of its pointer tree (newlabel values
+    are all self-mapped). Pointers strictly decrease, so the map is an
+    acyclic forest and map := map(map) converges in ceil(log2 L)
+    iterations for the longest chain L."""
+    for _ in range(MAX_JUMPS):
+        m2 = replab.select(
+            F.col("rep").alias("r2"), F.col("newlabel").alias("nl2")
+        )
+        jumped = (
+            replab.join(m2, replab["newlabel"] == m2["r2"], "left")
+            .select(
+                "rep",
+                F.coalesce("nl2", "newlabel").alias("newlabel"),
+                (
+                    F.col("nl2").isNotNull()
+                    & (F.col("nl2") != F.col("newlabel"))
+                ).alias("_moved"),
+            )
+            .localCheckpoint()
+        )
+        replab = jumped.select("rep", "newlabel")
+        if not jumped.where("_moved").take(1):  # fixpoint: all roots
+            return replab
+    raise RuntimeError(
+        f"connected_components: relabel map did not reach fixpoint in "
+        f"{MAX_JUMPS} pointer-doubling jumps (covers chains of length "
+        f"2^{MAX_JUMPS}) — pointer cycle, which the strictly-decreasing "
+        f"min construction should make impossible"
+    )
 
 
 def connected_components(edges: DataFrame) -> DataFrame:
@@ -44,7 +90,7 @@ def connected_components(edges: DataFrame) -> DataFrame:
     carcs = edges.select(F.col("a").alias("s"), F.col("b").alias("d")).localCheckpoint()
     for _ in range(MAX_ROUNDS):
         if not carcs.take(1):  # fixpoint: no edges between distinct labels
-            break
+            return lab.select("v", F.col("label").alias("component"))
         sym = carcs.unionAll(
             carcs.select(F.col("d").alias("s"), F.col("s").alias("d"))
         )
@@ -56,6 +102,7 @@ def connected_components(edges: DataFrame) -> DataFrame:
                 "newlabel"
             ),
         )
+        replab = _shortcut(replab)
         lab = (
             lab.join(replab, lab.label == replab.rep)
             .select("v", F.col("newlabel").alias("label"))
@@ -71,4 +118,8 @@ def connected_components(edges: DataFrame) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
-    return lab.select("v", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components: contracted edge frame still non-empty "
+        f"after {MAX_ROUNDS} rounds — returning partial labels is never "
+        f"an option"
+    )

@@ -9,18 +9,25 @@ contracts the edge set by the current labels every round — min-label
 over the CONTRACTED graph — which is the star-contraction scheme
 (Shiloach-Vishkin / Kiveris et al. "Connected Components in MapReduce"
 family): each round every representative hooks to the minimum of its
-contracted neighborhood, so label chains collapse geometrically and the
-fixture converges in 3 rounds at sf0.01 and 5 at sf0.1 (measured;
-vs 8 and 13 for plain propagation). The contracted edge frame STRICTLY
+contracted neighborhood and the relabel map is then SHORTCUT to its
+fixpoint by pointer doubling (map := map(map), representative-scale
+joins only), so a min step that would otherwise creep one hop per
+round along a label chain collapses it in log rounds instead — a
+200-node duplicate chain resolves in one contraction round plus ~8
+doubling jumps, where the unshortcut form needed 199 rounds. The
+fixture converges in 3 rounds at sf0.01 and 5 at sf0.1 (measured; vs 8
+and 13 for plain propagation). The contracted edge frame STRICTLY
 SHRINKS every round — at 100 TB round 1 is edge-scale, round 2 is
 component-representative scale, and the tail rounds are tiny.
 
-Convergence is detected, not assumed: the loop stops when the
-contracted edge set is empty (one single-row count per round — the
-same bounded-collect class as ml_logreg_gd's gradient step and AQE's
-own statistics). A 64-round cap bounds the plan; star contraction at
-least halves the representative count per round, so 64 rounds cover
-2^64 nodes — the cap is unreachable, not a tuning knob.
+Convergence is detected, not assumed: the outer loop stops when the
+contracted edge set is empty and the doubling loop when no pointer
+moved (one single-row take(1) each — the same bounded-collect class as
+ml_logreg_gd's gradient step and AQE's own statistics). Both 64-step
+caps are backed by geometric decay and raise RuntimeError rather than
+ever returning partial labels (operators/concomp.py; the long-path
+regime is pinned by a 220-node chain vs union-find in
+tests/test_prefix_property.py).
 
 The graph is the deterministic event graph (operators/eventgraph.py)
 additionally sparsified by a residue rule (endpoints must agree mod 7)

@@ -130,12 +130,16 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: the pair generation is the banded LSH equi-join (never
     all-pairs; operators/dedup.py), and the clustering is the shared
-    star-contraction operator (operators/concomp.py — contracted edge
-    frame strictly shrinks per round, convergence detected by a one-row
-    count). Duplicate-cluster graphs have tiny diameter in practice
-    (most are cliques of copies), so contraction typically converges in
-    2-3 rounds; the oracle's recursive transitive closure certifies
-    true cluster semantics, not an unrolled schedule."""
+    star-contraction + pointer-doubling operator (operators/concomp.py
+    — contracted edge frame strictly shrinks per round, the relabel map
+    is shortcut to its fixpoint each round, convergence detected by a
+    one-row count and a RuntimeError — never silent partial labels — if
+    a cap is ever hit). Most duplicate-cluster graphs are cliques of
+    copies that converge in 2-3 rounds, but chain motifs A~B~C~... are
+    exactly what near-dup thresholds produce, and the doubling shortcut
+    is what makes those log-round instead of length-round; the oracle's
+    recursive transitive closure certifies true cluster semantics, not
+    an unrolled schedule."""
     d = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs_md5(
         d, "doc_id", "text", num_hashes=16, bands=8, k=3, threshold=0.5

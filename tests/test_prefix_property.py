@@ -98,3 +98,33 @@ def test_connected_components_matches_union_find(spark, edges):
     nodes = {n for e in edges for n in e}
     ref = {n: find(n) for n in nodes}
     assert got == ref
+
+
+def test_connected_components_long_path(spark):
+    """A 220-node chain — the high-diameter regime the property test's
+    0..15 id domain can never reach. Before the pointer-doubling
+    shortcut (round-10 fix) a min step moved each label exactly one hop
+    per round, so this input silently exhausted the 64-round cap with
+    135+ nodes carrying wrong labels; now it must resolve exactly, and
+    a non-convergence raises instead of returning."""
+    n = 220
+    # shuffle ids deterministically so the path is not id-monotone
+    # (id-monotone chains collapse trivially; the mixed chain is the
+    # adversarial case where pointers creep)
+    ids = [(i * 97) % n for i in range(n)]
+    edges = [(min(a, b), max(a, b)) for a, b in zip(ids, ids[1:])]
+    df = spark.createDataFrame(sorted(set(edges)), "a bigint, b bigint")
+    got = {r["v"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {v: 0 for v in range(n)}
+
+
+def test_connected_components_two_long_chains(spark):
+    """Two disjoint 80-node chains: components must not bleed into each
+    other under the shortcut, and each resolves to its own minimum."""
+    c1 = [(i, i + 1) for i in range(0, 79)]
+    c2 = [(i, i + 1) for i in range(100, 179)]
+    df = spark.createDataFrame(c1 + c2, "a bigint, b bigint")
+    got = {r["v"]: r["component"] for r in connected_components(df).collect()}
+    want = {v: 0 for v in range(80)}
+    want.update({v: 100 for v in range(100, 180)})
+    assert got == want
