@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_caic_spark.operators.prefix import with_global_order
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 
@@ -179,32 +180,34 @@ def win_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((cum−rev)·5 < total·4) — exact, no ratio compared against a
     float threshold; the reported share is one rounded division.
 
-    Scale: the ranking window is over the PART-LEVEL rollup (|parts|
-    rows), not the fact table; its global order is the real cost — at
-    100 TB, pre-filter to parts above a revenue floor (a broadcast
-    threshold from a first pass) before ranking, which bounds the
-    single-partition window to the plausible head. The fact-table
-    aggregate is one map-side-combinable shuffle."""
+    Scale: the ranking is over the PART-LEVEL rollup (|parts| rows ~
+    10^8 at 100 TB), still far too many for a single-partition
+    WindowExec — so the global rank AND the running revenue sum come
+    from the partitioned prefix construction (operators/prefix.py:
+    range-partition on the order key, per-partition local windows, a
+    broadcast O(P) offset map), the same with_global_order algebra the
+    four round-8 anchor queries were rewritten onto. Descending
+    revenue is expressed as an ascending NEGATED column so the range
+    partitioner and the local window share one sort direction. The
+    grand total is a one-row aggregate cross-joined back (never a
+    partitionBy() window); the fact-table aggregate is one
+    map-side-combinable shuffle. No unpartitioned window remains
+    anywhere in the plan (asserted by tests/test_scalewin_twins.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     ranked = li.groupBy("l_partkey").agg(
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
         .cast("bigint")
         .alias("rev_cents")
     )
-    worder = Window.orderBy(F.desc("rev_cents"), F.asc("l_partkey"))
-    cum = ranked.select(
-        "l_partkey",
-        "rev_cents",
-        F.sum("rev_cents")
-        .over(worder.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("bigint")
-        .alias("cum_cents"),
-        F.sum("rev_cents")
-        .over(Window.partitionBy())
-        .cast("bigint")
-        .alias("total_cents"),
-        F.row_number().over(worder).cast("bigint").alias("rk"),
+    total = ranked.agg(
+        F.sum("rev_cents").cast("bigint").alias("total_cents")
     )
+    cum = with_global_order(
+        ranked.withColumn("neg_cents", -F.col("rev_cents")),
+        ["neg_cents", "l_partkey"],
+        rn_col="rk",
+        cumsum_cols={"cum_cents": "rev_cents"},
+    ).crossJoin(F.broadcast(total))
     return cum.where(
         (F.col("cum_cents") - F.col("rev_cents")) * 5
         < F.col("total_cents") * 4

@@ -75,14 +75,16 @@ def test_originals_still_flag_their_caveat(spark, sf_dir):
         "analytics_gini",
         "stat_spearman",
         "analytics_skyline",
+        "win_pareto_cut",
     ],
 )
 def test_r9_rewritten_anchors_have_no_global_window(spark, sf_dir, name):
     """The r8 queries that shipped corpus/customer-grain GLOBAL rank
     windows were rewritten in-place on operators/prefix.py (r8 verdict
-    ask #2): every window in their plans must now be partitioned (by the
-    range-partition id _gid), i.e. no `WindowExec: No Partition Defined`
-    at any scale."""
+    ask #2), and win_pareto_cut — the last growing-grain unpartitioned
+    window (r9 verdict ask #2) — joined them in round 10: every window
+    in their plans must now be partitioned (by the range-partition id
+    _gid), i.e. no `WindowExec: No Partition Defined` at any scale."""
     plan = _optimized_plan(SPECS[name].fn(spark, sf_dir))
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs, f"{name}: expected at least one (partitioned) window"
