@@ -120,6 +120,7 @@ from etl_caic_spark.plans import wave12a  # noqa: F401,E402
 from etl_caic_spark.plans import wave12b  # noqa: F401,E402
 from etl_caic_spark.plans import wave13a  # noqa: F401,E402
 from etl_caic_spark.plans import wave13b  # noqa: F401,E402
+from etl_caic_spark.plans import wave14a  # noqa: F401,E402
 
 # Round-9 rotation (r8 verdict asks #1/#3/#7), never-verified-first:
 # all 29 round-8 queries (wave8b–8k + curation2q + sketch3q — their

@@ -71,8 +71,12 @@ _PQ_K = 16  # codewords per subspace (4-bit codes)
 _PQ_SHORTLIST = 100  # ADC candidates kept for the exact re-rank
 _PQ_TOPK = 10
 
-_PQ_SQL = f"""
-    WITH dims AS (
+# The WITH-body shared by sim_pq_adc and its recall audit
+# (plans/wave14a.eval_pq_recall): everything from coordinate
+# quantization through the ADC shortlist. Kept as one string so the
+# audit certifies the EXACT same construction the serving query runs.
+PQ_CTES = f"""
+    dims AS (
       SELECT vec_id, g.i AS d,
              CAST(round(CAST(embedding[g.i + 1] AS DOUBLE) * 1e6) AS BIGINT) AS x
       FROM embeddings,
@@ -134,7 +138,10 @@ _PQ_SQL = f"""
     short AS (
       SELECT vec_id, adc_micro2 FROM adc
       ORDER BY adc_micro2, vec_id LIMIT {_PQ_SHORTLIST}
-    ),
+    )"""
+
+_PQ_SQL = f"""
+    WITH {PQ_CTES},
     rerank AS (
       SELECT v.vec_id, min(sh.adc_micro2) AS adc_micro2,
              CAST(sum((v.x - q.x) * (v.x - q.x)) AS BIGINT) AS exact_micro2
@@ -150,22 +157,15 @@ _PQ_SQL = f"""
 """
 
 
-@register("sim_pq_adc", oracle=_PQ_SQL, tags=("similarity", "llm", "scale"))
-def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ + ADC-shortlist + exact-rerank top-10 neighbors of the
-    vec_id=0 query (module docstring: integer-frozen codebooks —
-    md5-anchor init, one Lloyd step with round(sum/count) centroids,
-    exact BIGINT micro^2 distances; ADC estimate carried alongside the
-    exact rerank distance so the quantization error is auditable).
-
-    Plan shape: one posexplode builds the (vec, subspace, dim, micro)
-    stream; both assignment rounds broadcast the codeword frame
-    (M*K*subdim = 1024 rows) onto it and reduce per (vec, subspace,
-    code) with an argmin via min(struct(dist, k)) — no window over
-    anything row-scale; the ADC LUT is M*K = 128 rows broadcast onto
-    the code table; shortlist and final top-k are both
-    TakeOrderedAndProject, and the exact rerank touches only the
-    broadcast 100-row shortlist."""
+def pq_shortlist_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The PQ serving pipeline up to the ADC shortlist, shared by
+    sim_pq_adc and its recall audit (plans/wave14a.eval_pq_recall):
+    returns (sub, q, short) where sub is the checkpointed
+    (vec_id, s, d, x) integer-micro coordinate stream, q the vec_id=0
+    query slice (s, d, qx) and short the {_PQ_SHORTLIST}-row ADC
+    shortlist (vec_id, adc_micro2). Mirrors PQ_CTES exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
     # localCheckpoint: the quantized coordinate stream feeds five
     # consumers (anchor frame, two assignment rounds, the query slice,
@@ -248,6 +248,26 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("part").cast("bigint").alias("adc_micro2"))
     )
     short = adc.orderBy(F.asc("adc_micro2"), F.asc("vec_id")).limit(_PQ_SHORTLIST)
+    return sub, q, short
+
+
+@register("sim_pq_adc", oracle=_PQ_SQL, tags=("similarity", "llm", "scale"))
+def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + ADC-shortlist + exact-rerank top-10 neighbors of the
+    vec_id=0 query (module docstring: integer-frozen codebooks —
+    md5-anchor init, one Lloyd step with round(sum/count) centroids,
+    exact BIGINT micro^2 distances; ADC estimate carried alongside the
+    exact rerank distance so the quantization error is auditable).
+
+    Plan shape: one posexplode builds the (vec, subspace, dim, micro)
+    stream; both assignment rounds broadcast the codeword frame
+    (M*K*subdim = 1024 rows) onto it and reduce per (vec, subspace,
+    code) with an argmin via min(struct(dist, k)) — no window over
+    anything row-scale; the ADC LUT is M*K = 128 rows broadcast onto
+    the code table; shortlist and final top-k are both
+    TakeOrderedAndProject, and the exact rerank touches only the
+    broadcast 100-row shortlist."""
+    sub, q, short = pq_shortlist_frames(spark, sf_dir)
     rerank = (
         F.broadcast(short)
         .join(sub, "vec_id")
