@@ -48,6 +48,17 @@ from etl_caic_spark.sources import load_table
 # --------------------------------------------------------------------------
 
 _KT_BLOCKS = 16  # FLOOR for the adaptive block count B ~ sqrt(n)
+_KT_BLOCK_CAP = 65536  # binds only past ~4e9 rank rows (cap^2); a plan
+# knob to raise with the cluster, never an answer knob
+
+
+def _kt_pick_blocks(n: int) -> int:
+    """B ~ sqrt(n), power of two, floor {_KT_BLOCKS}, cap
+    {_KT_BLOCK_CAP}: the same-block joins do n^2/B ~ n^1.5 comparisons
+    and the dense D1 lattice is B^2 ~ 2n rows — both scale with the
+    data, no quadratic tail (unit-tested in tests/test_wave10.py so the
+    knob's contract is pinned, not narrated)."""
+    return min(_KT_BLOCK_CAP, max(_KT_BLOCKS, 1 << max(0, (n.bit_length() + 1) // 2)))
 
 _KENDALL_SQL = """
     WITH rev AS (
@@ -128,7 +139,7 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only bounds the lattice for n beyond ~4e9 rank rows (past it the
     # same-block term grows toward n^2/cap — raise the cap with the
     # cluster, it is a plan knob, never an answer knob).
-    blocks = min(65536, max(_KT_BLOCKS, 1 << max(0, (n_val.bit_length() + 1) // 2)))
+    blocks = _kt_pick_blocks(n_val)
     n_row = ranked.agg(F.count("*").cast("bigint").alias("n"))
     blocked = (
         ranked.crossJoin(F.broadcast(n_row))

@@ -135,3 +135,32 @@ def test_boosted_stumps_reduce_residual(spark, sf_dir):
         assert r["feature"] in (1, 2)
     # each boosting round shrinks the mean absolute residual
     assert rows[1]["mae_after_cents"] < rows[0]["mae_after_cents"]
+
+
+def test_kendall_adaptive_block_selection():
+    """The adaptive-B contract (wave9a._kt_pick_blocks): ~sqrt(n)
+    rounded up to a power of two, floor 16, cap 65536 — pinned here so
+    the knob is tested, not just narrated (r9 verdict ask #5; the
+    SCALE.md probe table's B values assume exactly this mapping)."""
+    from etl_caic_spark.plans.wave9a import _kt_pick_blocks
+
+    # floor regime: any n where sqrt(n) < 16
+    for n in (0, 1, 7, 100, 255):
+        assert _kt_pick_blocks(n) == 16
+    # ~sqrt(n) power of two: 45k customers (the 30x probe) -> 256
+    assert _kt_pick_blocks(45_000) == 256
+    assert _kt_pick_blocks(1_500) == 64  # the sf0.1 fixture scale
+    # the formula rounds sqrt UP to the next power of two (bl+1 >> 1),
+    # so 2^20 rows pick 2^11 blocks — erring large keeps the n^2/B
+    # same-block term smaller at the cost of a still-tiny 2B^2 lattice
+    assert _kt_pick_blocks(1 << 20) == 1 << 11
+    # cap regime: past ~4e9 rows B freezes at 65536
+    assert _kt_pick_blocks(4 * 10**9) == 65536
+    assert _kt_pick_blocks(10**12) == 65536
+    # monotone non-decreasing across the whole range (a mis-rounded
+    # bit_length formula would create local dips)
+    prev = 0
+    for e in range(0, 41):
+        b = _kt_pick_blocks(1 << e)
+        assert b >= prev
+        prev = b
