@@ -531,7 +531,13 @@ def encode_tiff(arr: np.ndarray) -> bytes:
         raise ValueError(f"encode_tiff wants (h,w) or (h,w,3), got {arr.shape}")
     h, w = arr.shape[0], arr.shape[1]
     strip = arr.tobytes()  # top-down interleaved, TIFF native order
-    ifd_off = 8 + len(strip)
+    # TIFF6 requires every offset to be word-aligned; an odd strip
+    # length (any odd h*w greyscale image) would otherwise place the
+    # IFD — and the RGB BitsPerSample value offset derived from it —
+    # on an odd byte. Pad the strip, but keep StripByteCounts at the
+    # UNPADDED length (the pad is dead space, not pixel data).
+    pad = b"\x00" * (len(strip) % 2)
+    ifd_off = 8 + len(strip) + len(pad)
     n_entries = 9
     extra_off = ifd_off + 2 + 12 * n_entries + 4
 
@@ -557,7 +563,7 @@ def encode_tiff(arr: np.ndarray) -> bytes:
     ifd += entry(279, 4, 1, len(strip))
     ifd += struct.pack("<I", 0)  # no next IFD
     header = b"II" + struct.pack("<HI", 42, ifd_off)
-    return header + strip + ifd + extra
+    return header + strip + pad + ifd + extra
 
 
 def decode_tiff(data: bytes) -> np.ndarray:

@@ -2,7 +2,10 @@
 
 from __future__ import annotations
 
+import atexit
 import os
+import re
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame
@@ -46,3 +49,49 @@ def scratch_path(name: str) -> str:
     each run rebuilds its own copy."""
     os.makedirs(REPO_TMP, exist_ok=True)
     return os.path.join(REPO_TMP, f"{name}_p{os.getpid()}")
+
+
+# Scratch hygiene: per-pid dirs isolate concurrent runs (above), but
+# nothing would ever delete them — every verification/bench/pytest
+# process would permanently leave its copy of every sink fixture,
+# growing REPO_TMP without bound across runs. Two-sided cleanup:
+# (a) on import, prune _p<pid> dirs whose owning process is gone
+#     (liveness probe via kill(pid, 0); pid-reuse makes the check
+#     conservative — a recycled pid keeps a stale dir one run longer,
+#     never deletes a live one);
+# (b) at exit, remove THIS process's own dirs (it cannot be using
+#     them anymore). rmtree(ignore_errors) tolerates two cleaners
+#     racing on the same dead dir.
+_PID_DIR_RE = re.compile(r"_p(\d+)$")
+
+
+def _prune_dead_scratch() -> None:
+    try:
+        entries = os.listdir(REPO_TMP)
+    except OSError:
+        return
+    for name in entries:
+        m = _PID_DIR_RE.search(name)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(REPO_TMP, name), ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid — leave it
+
+
+def _cleanup_own_scratch() -> None:
+    suffix = f"_p{os.getpid()}"
+    try:
+        entries = os.listdir(REPO_TMP)
+    except OSError:
+        return
+    for name in entries:
+        if name.endswith(suffix):
+            shutil.rmtree(os.path.join(REPO_TMP, name), ignore_errors=True)
+
+
+_prune_dead_scratch()
+atexit.register(_cleanup_own_scratch)

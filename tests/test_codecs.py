@@ -256,6 +256,35 @@ def test_tiff_roundtrip(shape):
     assert out.shape == a.shape and (out == a).all()
 
 
+@pytest.mark.parametrize("shape", [(1, 1), (3, 5), (7, 11), (5, 5, 3)])
+def test_tiff_offsets_word_aligned(shape):
+    """TIFF6 requires every offset to be even; an odd h*w greyscale
+    strip must be padded before the IFD (strict external readers reject
+    odd IFD / value offsets even though our own decoder tolerates
+    them). StripByteCounts stays the UNPADDED pixel length."""
+    import struct
+
+    from etl_caic_spark.operators.codecs import decode_tiff, encode_tiff
+
+    a = _rng(3).randint(0, 256, size=shape).astype(np.uint8)
+    data = encode_tiff(a)
+    (ifd_off,) = struct.unpack("<I", data[4:8])
+    assert ifd_off % 2 == 0
+    (n_entries,) = struct.unpack("<H", data[ifd_off : ifd_off + 2])
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack("<HHI", data[off : off + 8])
+        total = {1: 1, 3: 2, 4: 4}[typ] * count
+        if total > 4:  # out-of-line value (RGB BitsPerSample)
+            (voff,) = struct.unpack("<I", data[off + 8 : off + 12])
+            assert voff % 2 == 0, f"tag {tag} value offset odd"
+        if tag == 279:  # StripByteCounts: unpadded pixel length
+            (cnt,) = struct.unpack("<I", data[off + 8 : off + 12])
+            assert cnt == a.size
+    out = decode_tiff(data)
+    assert out.shape == a.shape and (out == a).all()
+
+
 def test_tiff_decodes_big_endian_and_multi_strip():
     """The encoder is single-strip little-endian; the decoder contract
     is wider — either byte order, any strip layout. Build an MM

@@ -5,6 +5,8 @@ plan/result properties at test scale."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -169,3 +171,29 @@ def test_events_ts_filter_pushes_to_parquet_scan(spark, sf_dir):
     # and projection pruning: only the two selected columns reach the scan
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read and "value" not in read[0] and "props" not in read[0], read
+
+
+def test_scratch_pid_dirs_are_pruned(tmp_path, monkeypatch):
+    """Per-pid scratch dirs must not accumulate forever: dirs whose
+    owning pid is dead are pruned on module init, live ones (including
+    our own) are kept, and the atexit hook removes this process's own
+    dirs (round-9 advice: pid-suffixed dirs were write-only)."""
+    from etl_caic_spark import util
+
+    monkeypatch.setattr(util, "REPO_TMP", str(tmp_path))
+    dead = tmp_path / "fixture_p999999999"  # pid far past pid_max
+    dead.mkdir()
+    (dead / "f").write_text("x")
+    own = tmp_path / f"fixture_p{os.getpid()}"
+    own.mkdir()
+    plain = tmp_path / "not_a_pid_dir"
+    plain.mkdir()
+
+    util._prune_dead_scratch()
+    assert not dead.exists(), "dead-pid dir must be pruned"
+    assert own.exists(), "own dir must survive the prune"
+    assert plain.exists(), "non-pid dirs are out of scope"
+
+    util._cleanup_own_scratch()
+    assert not own.exists(), "atexit hook removes this process's dirs"
+    assert plain.exists()
