@@ -122,76 +122,78 @@ from etl_caic_spark.plans import wave13a  # noqa: F401,E402
 from etl_caic_spark.plans import wave13b  # noqa: F401,E402
 from etl_caic_spark.plans import wave14a  # noqa: F401,E402
 
-# Round-9 rotation (r8 verdict asks #1/#3/#7), never-verified-first:
-# all 29 round-8 queries (wave8b–8k + curation2q + sketch3q — their
-# semantics are the newest, four of them were rewritten onto the
-# prefix-rank construction this round, and dedup_paragraph_cdc /
-# sketch_hll_distinct / data_importance_resample carry round-9 review
-# fixes), then the five r1-era rows-only approx entries whose driver
-# rows are two-plus rounds stale (ask #3 — re-windowed once so current
-# row counts sit alongside their oracled twins' hashes), then the two
-# longest never-verified families timeseriesq (6) and mlq (6), and the
-# first four of the streaming family (ask #7 — the remaining stream_*
-# names rotate in next round). 29+5+6+6+4 = 50. Every r8-window query
-# went green twice (driver + judge replay) and rotates out; the r1–r8
-# cumulative driver-green set (239 hash + 6 rows-only names) is
-# preserved in the CORRECTNESS artifacts.
+# Round-10 rotation (r9 verdict asks #1/#2/#3), never-verified-first:
+# all 24 round-9 additions (wave9a-wave13b - the newest semantics, and
+# graph_connected_components / dedup_cluster_canonical /
+# dedup_semantic_embedding carry the round-10 pointer-doubling fix),
+# the 3 outstanding stream_* names (closing the r8 "all stream rows by
+# r10" deadline), the in-place win_pareto_cut rewrite (ask #2 requires
+# a driver row for the new prefix-construction plan), the two round-10
+# ANN recall audits (ask #3), then relational9 (5), relational10 (5),
+# scaleq (5), analytics2q (4) and the first of round6q.
+# 24+3+1+2+5+5+5+4+1 = 50. Every r9-window query went green twice
+# (driver + judge replay) and rotates out; the r1-r9 cumulative
+# driver-green set (284 hash + 6 rows-only names) is preserved in the
+# CORRECTNESS artifacts.
 _DRIVER_WINDOW = [
-    # wave8b–8k + curation2q + sketch3q — the full round-8 surface
-    "hierarchy_flatten",
-    "data_importance_resample",
-    "ts_holt_linear",
-    "priv_l_diversity",
-    "rag_rrf_fusion",
-    "graph_hits",
-    "eval_bleu_corpus",
-    "priv_t_closeness",
-    "graph_adamic_adar",
-    "eval_chrf_corpus",
-    "analytics_skyline",
-    "bpe_learn_merges",
-    "dq_dataset_fingerprint",
-    "eval_cohen_kappa",
-    "analytics_gini",
-    "stat_spearman",
-    "graph_harmonic_centrality",
-    "eval_minhash_quality",
-    "ts_hysteresis_alerts",
-    "data_token_budget_pack",
-    "sim_tfidf_cosine_topk",
-    "stat_theil_index",
-    "agg_weighted_median",
-    "eval_fleiss_kappa",
-    "dedup_paragraph_cdc",
-    "data_mixture_temperature",
-    "text_perplexity_buckets",
-    "quality_gopher_rules",
-    "sketch_hll_distinct",
-    # r1-era rows-only entries, refreshed once (r8 verdict ask #3)
-    "dedup_minhash",
-    "dedup_simhash",
-    "sim_topk_ivf",
-    "sim_topk_ivf_kmeans",
-    "agg_approx_distinct",
-    # timeseriesq — never verified
-    "rollup_timeseries",
-    "funnel_stages",
-    "ts_time_weighted_avg",
-    "ts_gapfill_locf",
-    "win_pattern_purchase_error",
-    "ts_interpolate_linear",
-    # mlq — never verified
-    "eval_classification_report",
-    "eval_calibration_bins",
-    "eval_regression_metrics",
-    "feat_onehot",
-    "feat_hash_trick",
-    "feat_target_encode_loo",
-    # streamingq — never verified (first four; rest next round)
-    "stream_dedup",
-    "stream_foreach_batch",
-    "stream_stateful_totals",
-    "stream_python_datasource",
+    # wave9a-wave13b - the full round-9 surface
+    "stat_kendall_tau",
+    "stat_kruskal_wallis",
+    "ml_naive_bayes",
+    "eval_brier_logloss",
+    "graph_connected_components",
+    "dedup_cluster_canonical",
+    "stat_anova_f",
+    "eval_mcc",
+    "sim_pq_adc",
+    "data_curriculum_order",
+    "stat_levene",
+    "feat_impute_median_group",
+    "ml_boosted_stumps",
+    "multimodal_tiff_codec",
+    "scan_fixed_width",
+    "sink_compressed_roundtrip",
+    "eval_krippendorff_alpha",
+    "dedup_semantic_embedding",
+    "eval_ece",
+    "stat_friedman",
+    "eval_rouge_corpus",
+    "data_pii_scrub",
+    "text_ngram_novelty",
+    "eval_pass_at_k",
+    # the last stream_* names without a driver row (r8 deadline)
+    "stream_outer_join",
+    "stream_multi_batch_window",
+    "stream_session_merge_batches",
+    # round-10 work: the pareto rewrite + the ANN recall audits
+    "win_pareto_cut",
+    "eval_pq_recall",
+    "eval_ivf_recall",
+    # relational9 - never verified
+    "merge_full",
+    "join_asof_nearest",
+    "win_sliding_distinct",
+    "join_interval_overlap",
+    "agg_decimal_exact",
+    # relational10 - never verified
+    "graph_degree_topk",
+    "ts_resample_ohlc",
+    "ts_ewma",
+    "feat_target_encode",
+    "feat_scale_robust",
+    # scaleq - never verified
+    "agg_salted_skew",
+    "join_bucketed",
+    "compact_small_files",
+    "layout_zorder",
+    "join_shuffle_hash",
+    # analytics2q - never verified
+    "graph_sssp_weighted",
+    "geo_haversine_knn",
+    "agg_skew_kurtosis",
+    "dq_constraint_suite",
+    # round6q - never verified (first of four; rest next round)
+    "agg_median_selection",
 ]
 
 
