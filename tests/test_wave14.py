@@ -1,0 +1,196 @@
+"""Independent differentials for the round-10 wave14 queries: the
+DuckDB oracles intentionally mirror the Spark expression trees (that is
+what makes the hash comparable), so these tests recompute each metric
+from the raw fixture with a THIRD, pure-Python implementation — a
+shared formula mistake in query+oracle cannot survive an independent
+derivation — plus closed-form invariants (JSD of a distribution with
+itself is 0; recall audits are bounded by their k)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from etl_caic_spark.registry import all_specs
+from etl_caic_spark.sources import load_table
+
+SPECS = all_specs()
+
+
+def _iln_py(x: int) -> int:
+    return int(round(round(math.log(x), 6) * 1e6))
+
+
+def test_mrr_matches_python_reference(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderpriority")
+        .collect()
+    )
+    by_cust: dict[int, list[tuple[int, int, int]]] = {}
+    for r in rows:
+        h = hashlib.md5(f"mrr-v1|{r['o_orderkey']}".encode()).hexdigest()
+        score = int(h[:8], 16)
+        rel = 1 if r["o_orderpriority"] == "1-URGENT" else 0
+        by_cust.setdefault(r["o_custkey"], []).append(
+            (-score, r["o_orderkey"], rel)
+        )
+    rr_sum, n_hit = 0, 0
+    for cands in by_cust.values():
+        cands.sort()
+        first = next((i + 1 for i, c in enumerate(cands) if c[2]), None)
+        if first is not None:
+            n_hit += 1
+            rr_sum += int(round(1_000_000.0 / first))
+    want_mrr = int(round(rr_sum * 1.0 / len(by_cust)))
+
+    got = SPECS["eval_mrr"].fn(spark, sf_dir).collect()[0]
+    assert got["n_queries"] == len(by_cust)
+    assert got["n_hit"] == n_hit
+    assert got["mrr_micro"] == want_mrr
+
+
+def test_jsd_matches_python_reference(spark, sf_dir):
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source").isin("src0", "src1"))
+        .select("source", "text")
+        .collect()
+    )
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    for r in docs:
+        (ca if r["source"] == "src0" else cb).update(r["text"].split(" "))
+    n1, n2 = sum(ca.values()), sum(cb.values())
+    s1 = sum(
+        c1 * (_iln_py(2 * c1 * n2) - _iln_py(c1 * n2 + cb.get(w, 0) * n1))
+        for w, c1 in ca.items()
+    )
+    s2 = sum(
+        c2 * (_iln_py(2 * c2 * n1) - _iln_py(ca.get(w, 0) * n2 + c2 * n1))
+        for w, c2 in cb.items()
+    )
+    want = int(round(s1 / (2.0 * n1) + s2 / (2.0 * n2)))
+
+    got = SPECS["stat_js_divergence"].fn(spark, sf_dir).collect()[0]
+    assert got["n1_tokens"] == n1 and got["n2_tokens"] == n2
+    assert got["jsd_micronat"] == want
+    # bounds: 0 <= JSD <= ln 2 (693147 micro-nats); identical mixtures
+    # would be 0, disjoint vocabularies exactly ln 2
+    assert 0 <= got["jsd_micronat"] <= 693148
+
+
+def test_jsd_of_identical_sources_is_zero(spark, sf_dir, monkeypatch):
+    """p = q makes every log argument ratio 1: the divergence must be
+    EXACTLY 0 (integer), not merely small."""
+    from etl_caic_spark.plans import wave14b
+
+    monkeypatch.setattr(wave14b, "_JSD_B", "src0")
+    got = wave14b.stat_js_divergence(spark, sf_dir).collect()[0]
+    assert got["jsd_micronat"] == 0
+
+
+def test_wilcoxon_matches_python_reference(spark, sf_dir):
+    import datetime
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice", "o_orderdate")
+        .collect()
+    )
+    split = datetime.datetime(1998, 1, 1)
+    pc: dict[int, list[int]] = {}
+    for r in rows:
+        cents = int(round(r["o_totalprice"] * 100))
+        xy = pc.setdefault(r["o_custkey"], [0, 0])
+        xy[1 if r["o_orderdate"] >= split else 0] += cents
+    diffs = [(abs(y - x), 1 if y > x else 0) for x, y in pc.values() if x != y]
+    n = len(diffs)
+    ties: Counter = Counter(d for d, _ in diffs)
+    cum = 0
+    mid_x2: dict[int, int] = {}
+    for v in sorted(ties):
+        cnt = ties[v]
+        mid_x2[v] = 2 * (cum + cnt) - cnt + 1  # 2*cum_incl - cnt + 1
+        cum += cnt
+    t_plus_x2 = sum(mid_x2[d] for d, pos in diffs if pos)
+    tie_term = sum(c**3 - c for c in ties.values())
+    mu_x2 = n * (n + 1) // 2
+    var_x48 = 2 * n * (n + 1) * (2 * n + 1) - tie_term
+    want_z = int(
+        round(((t_plus_x2 - mu_x2) / 2.0) / math.sqrt(var_x48 / 48.0) * 1e6)
+    )
+
+    got = SPECS["stat_wilcoxon_signed_rank"].fn(spark, sf_dir).collect()[0]
+    assert got["n_pairs"] == n
+    assert got["t_plus_x2"] == t_plus_x2
+    assert got["mu_x2"] == mu_x2
+    assert got["var_x48"] == var_x48
+    assert got["z_micro"] == want_z
+
+
+def test_kaplan_meier_matches_python_reference(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", F.to_date("o_orderdate").alias("d"))
+        .collect()
+    )
+    spans: dict[int, list] = {}
+    horizon_src = max(r["d"] for r in rows)
+    import datetime
+
+    horizon = horizon_src - datetime.timedelta(days=90)
+    for r in rows:
+        s = spans.setdefault(r["o_custkey"], [r["d"], r["d"]])
+        s[0], s[1] = min(s[0], r["d"]), max(s[1], r["d"])
+    base = [
+        ((last - first).days + 1, 1 if last <= horizon else 0)
+        for first, last in spans.values()
+    ]
+    grid: dict[int, list[int]] = {}
+    for dur, ev in base:
+        g = grid.setdefault(dur, [0, 0])
+        g[0] += 1
+        g[1] += ev
+    want = {}
+    n_risk = len(base)
+    logsurv = 0
+    for dur in sorted(grid):
+        cnt, d = grid[dur]
+        if d > 0:
+            if n_risk > d:
+                logsurv += _iln_py(n_risk - d) - _iln_py(n_risk)
+                want[dur] = (n_risk, d, logsurv)
+            else:
+                want[dur] = (n_risk, d, None)
+        n_risk -= cnt
+
+    got = {
+        r["duration_days"]: (
+            r["n_risk"],
+            r["n_events"],
+            r["logsurv_micronat"],
+        )
+        for r in SPECS["stat_kaplan_meier"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # survival only decreases: log-survival is non-increasing over time
+    vals = [v[2] for _, v in sorted(want.items()) if v[2] is not None]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_recall_audits_are_bounded(spark, sf_dir):
+    """eval_pq_recall / eval_ivf_recall sanity: hits never exceed k,
+    rates are consistent with the counts (the oracle hash certifies
+    equality; this pins the metric's own semantics)."""
+    pq = SPECS["eval_pq_recall"].fn(spark, sf_dir).collect()[0]
+    assert 0 <= pq["n_hit"] <= pq["n_true"] <= 10
+    assert pq["recall_micro"] == int(
+        round(pq["n_hit"] * 1_000_000.0 / pq["n_true"])
+    )
+    for r in SPECS["eval_ivf_recall"].fn(spark, sf_dir).collect():
+        assert 0 <= r["n_hit"] <= 5
+        assert r["recall_micro"] == int(round(r["n_hit"] * 1_000_000.0 / 5))
