@@ -32,6 +32,18 @@ exhausted — a wrong-labels return is never an option
 union-find, the exact regime the unshortcut form could not converge
 on). lab/carcs/map localCheckpoint per round — the iterative-plan
 lineage discipline shared with graph_hits (plans/wave8c.py).
+
+Every checkpoint here is wrapped in util.strip_plan_stats: checkpoints
+carry the origin plan's Catalyst sizeInBytes into the new LogicalRDD,
+and the doubling SELF-join then squares that statistic every iteration
+— the BigInteger's bit length doubles per jump and Catalyst planning
+itself becomes the bottleneck (minutes of driver CPU inside
+BigInteger.multiplyToomCook3, found by jstack when the 600k-node chain
+probe's rounds grew 2 s -> 84 s on constant-size frames). Stripping
+the carried stats pins the estimate at defaultSizeInBytes; AQE still
+re-plans every join from true runtime sizes, so execution strategy is
+unchanged (probed: identical results, chain rounds back to constant
+cost).
 """
 
 from __future__ import annotations
@@ -39,8 +51,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_caic_spark.util import strip_plan_stats
+
 MAX_ROUNDS = 64
 MAX_JUMPS = 64
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """localCheckpoint + carried-stats strip (module docstring)."""
+    return strip_plan_stats(df.localCheckpoint())
 
 
 def _shortcut(replab: DataFrame) -> DataFrame:
@@ -63,8 +82,8 @@ def _shortcut(replab: DataFrame) -> DataFrame:
                     & (F.col("nl2") != F.col("newlabel"))
                 ).alias("_moved"),
             )
-            .localCheckpoint()
         )
+        jumped = _ckpt(jumped)
         replab = jumped.select("rep", "newlabel")
         if not jumped.where("_moved").take(1):  # fixpoint: all roots
             return replab
@@ -85,9 +104,9 @@ def connected_components(edges: DataFrame) -> DataFrame:
         .unionAll(edges.select(F.col("b").alias("v")))
         .distinct()
         .select("v", F.col("v").alias("label"))
-        .localCheckpoint()
     )
-    carcs = edges.select(F.col("a").alias("s"), F.col("b").alias("d")).localCheckpoint()
+    lab = _ckpt(lab)
+    carcs = _ckpt(edges.select(F.col("a").alias("s"), F.col("b").alias("d")))
     for _ in range(MAX_ROUNDS):
         if not carcs.take(1):  # fixpoint: no edges between distinct labels
             return lab.select("v", F.col("label").alias("component"))
@@ -106,8 +125,8 @@ def connected_components(edges: DataFrame) -> DataFrame:
         lab = (
             lab.join(replab, lab.label == replab.rep)
             .select("v", F.col("newlabel").alias("label"))
-            .localCheckpoint()
         )
+        lab = _ckpt(lab)
         ra = replab.select(F.col("rep").alias("s"), F.col("newlabel").alias("ns"))
         rb = replab.select(F.col("rep").alias("d"), F.col("newlabel").alias("nd"))
         carcs = (
@@ -116,8 +135,8 @@ def connected_components(edges: DataFrame) -> DataFrame:
             .filter(F.col("ns") != F.col("nd"))
             .select(F.col("ns").alias("s"), F.col("nd").alias("d"))
             .distinct()
-            .localCheckpoint()
         )
+        carcs = _ckpt(carcs)
     raise RuntimeError(
         f"connected_components: contracted edge frame still non-empty "
         f"after {MAX_ROUNDS} rounds — returning partial labels is never "

@@ -26,6 +26,44 @@ def widen_narrow_scan(df: DataFrame, per_core: int = 1) -> DataFrame:
         return df
     return df.repartition(target)
 
+def strip_plan_stats(df: DataFrame) -> DataFrame:
+    """Re-root a (checkpointed) DataFrame on a fresh LogicalRDD WITHOUT
+    the origin plan's Catalyst statistics — the fix for the
+    stats-squaring pathology of iterative self-joins.
+
+    Dataset.localCheckpoint truncates the LINEAGE but deliberately
+    carries the origin plan's computed Statistics into the new
+    LogicalRDD (so broadcast decisions survive checkpointing). In an
+    iterative algorithm that joins a checkpointed frame WITH ITSELF
+    (pointer doubling: map := map(map)), join size estimation then
+    SQUARES the carried sizeInBytes every iteration — the BigInteger's
+    bit length doubles per round (measured: 66 -> 130 -> 259 -> ... ->
+    8263 bits in 8 iterations), and within ~14 iterations Catalyst
+    spends MINUTES of driver CPU in BigInteger.multiplyToomCook3
+    during ordinary planning (found by jstack on a connected-components
+    probe whose rounds went 2 s -> 84 s with constant data sizes).
+
+    The reset is zero-I/O and JVM-side only: re-wrap the checkpointed
+    internal RDD via SparkSession.internalCreateDataFrame, whose
+    LogicalRDD carries no origin stats (sizeInBytes falls back to
+    spark.sql.defaultSizeInBytes). Runtime join strategy is unaffected
+    — AQE re-plans from TRUE runtime sizes at every exchange. If the
+    internal API ever disappears, the frame is returned unchanged:
+    correctness never depends on this (it is purely a planning-cost
+    fix)."""
+    try:
+        spark = df.sparkSession
+        jdf = df._jdf
+        jrdd = jdf.queryExecution().toRdd()
+        jschema = spark._jsparkSession.parseDataType(df.schema.json())
+        new_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jrdd, jschema, False
+        )
+        return DataFrame(new_jdf, spark)
+    except Exception:
+        return df
+
+
 # All scratch output stays inside the repo (driver policy: nothing outside
 # /root/repo is written). Gitignored.
 REPO_TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
