@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from etl_caic_spark.util import strip_plan_stats
+
 
 def connected_components(
     pairs: DataFrame,
@@ -99,6 +101,12 @@ def connected_components(
             )
             .localCheckpoint()
         )
+        # The pointer-jumping step above joins the label frame with
+        # ITSELF, so the checkpoint-carried Catalyst sizeInBytes would
+        # SQUARE every iteration (bit length doubles -> BigInteger
+        # planning cost explodes; see util.strip_plan_stats /
+        # operators/concomp.py for the full root-cause).
+        updated = strip_plan_stats(updated)
         changed = (
             updated.filter(F.col("_old") != F.col("component")).limit(1).count()
         )
