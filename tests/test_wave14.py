@@ -194,3 +194,48 @@ def test_recall_audits_are_bounded(spark, sf_dir):
     for r in SPECS["eval_ivf_recall"].fn(spark, sf_dir).collect():
         assert 0 <= r["n_hit"] <= 5
         assert r["recall_micro"] == int(round(r["n_hit"] * 1_000_000.0 / 5))
+
+
+def test_silhouette_matches_python_reference(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    pts = [(r["label"], [float(x) for x in r["embedding"]]) for r in rows]
+    by_label: dict = {}
+    for lab, e in pts:
+        by_label.setdefault(lab, []).append(e)
+    cent = {}
+    for lab, vecs in by_label.items():
+        n = len(vecs)
+        cent[lab] = [
+            sum(math.floor(v[d] * 1e6) for v in vecs) / (1e6 * n)
+            for d in range(64)
+        ]
+    agg: dict = {}
+    for lab, e in pts:
+        d2 = {
+            cl: sum(x * x for x in e)
+            - 2 * sum(x * y for x, y in zip(e, c))
+            + sum(y * y for y in c)
+            for cl, c in cent.items()
+        }
+        a = math.sqrt(max(d2[lab], 0))
+        b = math.sqrt(max(min(v for cl, v in d2.items() if cl != lab), 0))
+        s = int(round((b - a) / max(a, b) * 1e6)) if max(a, b) > 0 else 0
+        t = agg.setdefault(lab, [0, 0])
+        t[0] += 1
+        t[1] += s
+    want = {
+        lab: (n, int(round(tot * 1.0 / n))) for lab, (n, tot) in agg.items()
+    }
+
+    got = {
+        r["label"]: (r["n_points"], r["mean_silhouette_micro"])
+        for r in SPECS["eval_silhouette_labels"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # random embeddings have ~no cluster structure: every per-label
+    # mean silhouette sits near zero (|s| < 0.1)
+    assert all(abs(m) < 100_000 for _, m in got.values())
