@@ -15,8 +15,10 @@ joins only), so a min step that would otherwise creep one hop per
 round along a label chain collapses it in log rounds instead — a
 200-node duplicate chain resolves in one contraction round plus ~8
 doubling jumps, where the unshortcut form needed 199 rounds. The
-fixture converges in 3 rounds at sf0.01 and 5 at sf0.1 (measured; vs 8
-and 13 for plain propagation). The contracted edge frame STRICTLY
+fixture converges in 2 rounds / 3 total jumps at sf0.01 and 4 rounds /
+8 jumps at sf0.1 (re-measured after the round-10 doubling shortcut; the
+pre-shortcut form needed 3 and 5 rounds, plain propagation 8 and 13).
+The contracted edge frame STRICTLY
 SHRINKS every round — at 100 TB round 1 is edge-scale, round 2 is
 component-representative scale, and the tail rounds are tiny.
 
