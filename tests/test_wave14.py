@@ -239,3 +239,46 @@ def test_silhouette_matches_python_reference(spark, sf_dir):
     # random embeddings have ~no cluster structure: every per-label
     # mean silhouette sits near zero (|s| < 0.1)
     assert all(abs(m) < 100_000 for _, m in got.values())
+
+
+def test_rendezvous_shard_matches_python_and_is_stable(spark, sf_dir):
+    """Rendezvous assignment equals the Python argmax, and the defining
+    stability property holds: growing 16 -> 17 shards only moves keys
+    TO the new shard — no document ever moves BETWEEN surviving shards
+    (the property modulo hashing lacks: hash(x) % N rehomes ~all keys)."""
+    doc_ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+
+    def assign(doc, n):
+        return max(
+            range(n),
+            key=lambda s: (
+                hashlib.md5(f"{s}|{doc}".encode()).hexdigest(),
+                f"{s:02d}",
+            ),
+        )
+
+    want: dict = {}
+    for doc in doc_ids:
+        s = assign(doc, 16)
+        t = want.setdefault(s, [0, None, None])
+        t[0] += 1
+        t[1] = doc if t[1] is None else min(t[1], doc)
+        t[2] = doc if t[2] is None else max(t[2], doc)
+
+    got = {
+        r["shard"]: [r["n_docs"], r["min_doc"], r["max_doc"]]
+        for r in SPECS["data_rendezvous_shard"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    moved = [
+        doc for doc in doc_ids if assign(doc, 17) != assign(doc, 16)
+    ]
+    assert all(assign(doc, 17) == 16 for doc in moved), (
+        "a key moved between surviving shards - rendezvous violated"
+    )
+    # expected churn ~ 1/17 of keys; allow generous slack
+    assert len(moved) <= len(doc_ids) * 0.2
