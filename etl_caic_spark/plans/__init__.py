@@ -125,6 +125,7 @@ from etl_caic_spark.plans import wave14b  # noqa: F401,E402
 from etl_caic_spark.plans import wave14c  # noqa: F401,E402
 from etl_caic_spark.plans import wave14d  # noqa: F401,E402
 from etl_caic_spark.plans import wave14e  # noqa: F401,E402
+from etl_caic_spark.plans import wave14f  # noqa: F401,E402
 
 # Round-10 rotation (r9 verdict asks #1/#2/#3), never-verified-first:
 # all 24 round-9 additions (wave9a-wave13b - the newest semantics, and

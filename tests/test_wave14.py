@@ -282,3 +282,85 @@ def test_rendezvous_shard_matches_python_and_is_stable(spark, sf_dir):
     )
     # expected churn ~ 1/17 of keys; allow generous slack
     assert len(moved) <= len(doc_ids) * 0.2
+
+
+def test_holt_winters_matches_python_reference(spark, sf_dir):
+    """Two references: (a) the closed-form coefficient dot recomputed in
+    Python over an independently densified daily series must match the
+    rounded Spark outputs EXACTLY (identical literals + identical
+    left-to-right accumulation order); (b) simulating the actual
+    Holt-Winters recurrence zero-initialized exactly depth+1 steps back
+    — the definition the closed form compiles — must agree to ~1e-3 abs
+    (same math, different float op order)."""
+    import datetime
+
+    from etl_caic_spark.plans.wave14f import (
+        _HW_B,
+        _HW_DEPTH,
+        _HW_L,
+        _HW_M,
+        _HW_S,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate").alias("d"), "o_totalprice")
+        .collect()
+    )
+    daily: dict = {}
+    for r in rows:
+        daily[r["d"]] = daily.get(r["d"], 0) + int(round(r["o_totalprice"] * 100))
+    lo, hi = min(daily), max(daily)
+    days, ys = [], []
+    d = lo
+    while d <= hi:
+        days.append(d)
+        ys.append(float(daily.get(d, 0)))
+        d += datetime.timedelta(days=1)
+
+    def dot(coefs, idx):
+        acc = coefs[0] * ys[idx]
+        for j in range(1, len(coefs)):
+            acc = acc + coefs[j] * (ys[idx - j] if idx - j >= 0 else 0.0)
+        return acc
+
+    want = {}
+    for k in range(_HW_M):
+        idx = len(ys) - 1 - k
+        lvl, trd, snx = dot(_HW_L, idx), dot(_HW_B, idx), dot(_HW_S, idx)
+        want[days[idx]] = (
+            int(ys[idx]),
+            round(lvl, 6),
+            round(trd, 6),
+            round(snx, 6),
+            round(lvl + trd + snx, 6),
+        )
+
+    got = {
+        r["day"]: (
+            r["y_cents"],
+            r["level_t"],
+            r["trend_t"],
+            r["season_next"],
+            r["forecast_next"],
+        )
+        for r in SPECS["ts_holt_winters"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    # (b) direct recurrence, zero-init depth+1 steps before each output
+    for day, (_, lvl6, trd6, snx6, _) in want.items():
+        idx = days.index(day)
+        start = idx - _HW_DEPTH
+        l = b = 0.0
+        ring = [0.0] * _HW_M
+        for i in range(start, idx + 1):
+            y = ys[i] if i >= 0 else 0.0
+            s_season = ring[_HW_M - 1]
+            nl = 0.5 * (y - s_season) + 0.5 * (l + b)
+            nb = 0.5 * (nl - l) + 0.5 * b
+            ns = 0.5 * (y - nl) + 0.5 * s_season
+            ring = [ns] + ring[:-1]
+            l, b = nl, nb
+        assert abs(l - lvl6) < 1e-3 and abs(b - trd6) < 1e-3
+        assert abs(ring[_HW_M - 1] - snx6) < 1e-3
