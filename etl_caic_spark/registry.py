@@ -16,6 +16,16 @@ hash, so both sides must produce identical values):
   per-row double arithmetic is left exact (same IEEE ops → identical bits);
 - integer sums are CAST to BIGINT in DuckDB (its SUM(BIGINT) is HUGEINT);
 - timestamps in outputs are formatted to 'yyyy-MM-dd HH:mm:ss' strings.
+
+Iterative-operator convention (round 10): a loop that joins a
+checkpointed frame WITH ITSELF (pointer doubling, label(label)
+shortcuts) must wrap every localCheckpoint in util.strip_plan_stats —
+checkpoints carry the origin plan's Catalyst sizeInBytes, and a
+self-join SQUARES that statistic per iteration until BigInteger
+arithmetic dominates planning (root cause + measurements in SCALE.md
+round 10 and operators/concomp.py). Joins against fixed real-stat
+frames (pagerank, kmeans, logreg) grow the stat linearly and do not
+need the strip.
 """
 
 from __future__ import annotations
