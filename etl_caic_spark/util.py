@@ -69,9 +69,20 @@ def strip_plan_stats(df: DataFrame) -> DataFrame:
 REPO_TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
 
 
+_OWN_SCRATCH_DIRS: list[str] = []
+
+
 def scratch_dir(prefix: str) -> str:
+    """Fresh per-call scratch directory. Tracked so the atexit hook
+    below deletes everything this process created — mkdtemp names are
+    random, so unlike the pid-suffixed scratch_path dirs no other
+    process can identify (or reuse) them, and untracked ones would
+    accumulate forever (observed: 500 ckpt_*/fixture dirs across test
+    runs before round 10 added this)."""
     os.makedirs(REPO_TMP, exist_ok=True)
-    return tempfile.mkdtemp(prefix=prefix, dir=REPO_TMP)
+    d = tempfile.mkdtemp(prefix=prefix, dir=REPO_TMP)
+    _OWN_SCRATCH_DIRS.append(d)
+    return d
 
 
 def scratch_path(name: str) -> str:
@@ -121,6 +132,8 @@ def _prune_dead_scratch() -> None:
 
 
 def _cleanup_own_scratch() -> None:
+    for d in _OWN_SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
     suffix = f"_p{os.getpid()}"
     try:
         entries = os.listdir(REPO_TMP)

@@ -197,3 +197,20 @@ def test_scratch_pid_dirs_are_pruned(tmp_path, monkeypatch):
     util._cleanup_own_scratch()
     assert not own.exists(), "atexit hook removes this process's dirs"
     assert plain.exists()
+
+
+def test_scratch_dir_is_tracked_and_cleaned(tmp_path, monkeypatch):
+    """mkdtemp scratch dirs have random names no other process can
+    identify, so each process must delete its own at exit."""
+    from etl_caic_spark import util
+
+    monkeypatch.setattr(util, "REPO_TMP", str(tmp_path))
+    monkeypatch.setattr(util, "_OWN_SCRATCH_DIRS", [])
+    d1 = util.scratch_dir("ckpt_")
+    d2 = util.scratch_dir("caic_forecasts_")
+    assert os.path.isdir(d1) and os.path.isdir(d2)
+    foreign = tmp_path / "ckpt_foreign"
+    foreign.mkdir()  # another live process's dir: must survive
+    util._cleanup_own_scratch()
+    assert not os.path.exists(d1) and not os.path.exists(d2)
+    assert foreign.exists()
