@@ -164,7 +164,7 @@ def pq_shortlist_frames(
     sim_pq_adc and its recall audit (plans/wave14a.eval_pq_recall):
     returns (sub, q, short) where sub is the checkpointed
     (vec_id, s, d, x) integer-micro coordinate stream, q the vec_id=0
-    query slice (s, d, qx) and short the {_PQ_SHORTLIST}-row ADC
+    query slice (s, d, qx) and short the 100-row (_PQ_SHORTLIST) ADC
     shortlist (vec_id, adc_micro2). Mirrors PQ_CTES exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
     # localCheckpoint: the quantized coordinate stream feeds five

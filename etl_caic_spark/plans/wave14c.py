@@ -139,8 +139,18 @@ def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tie_term"),
     )
-    n = F.col("n_pairs")
-    var_x48 = 2 * n * (n + 1) * (2 * n + 1) - F.col("tie_term")
+    # DECIMAL(38,0) for the cubic product (round-10 ADVICE): 2n(n+1)(2n+1)
+    # exceeds int64 past n ~ 2e6 nonzero pairs, and non-ANSI Spark bigint
+    # arithmetic would WRAP silently — decimal math stays exact to 1e38
+    # (DuckDB's side already errors loudly on BIGINT overflow, and its
+    # HUGEINT sums never wrap). The published var_x48 column remains
+    # BIGINT for schema parity; past int64 the publish cast fails loudly
+    # on the oracle side instead of hashing a silently-wrong value, and
+    # z_micro is computed from the exact decimal either way.
+    n = F.col("n_pairs").cast("decimal(38,0)")
+    var_x48 = 2 * n * (n + 1) * (2 * n + 1) - F.col("tie_term").cast(
+        "decimal(38,0)"
+    )
     return agg.select(
         "n_pairs",
         "t_plus_x2",

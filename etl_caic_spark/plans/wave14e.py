@@ -60,7 +60,7 @@ _RVZ_SQL = f"""
 )
 def data_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous (highest-random-weight) shard assignment over
-    {_RVZ_SHARDS} shards (module docstring): per doc, argmax over
+    16 shards (_RVZ_SHARDS; module docstring): per doc, argmax over
     shards of the portable md5 weight — shard-count changes move only
     ~1/N of keys, the property modulo hashing lacks. Ties (impossible
     in practice for md5, but the argmax must still be total) break on
@@ -68,7 +68,7 @@ def data_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical lexicographic key on both engines (DuckDB max_by takes no
     composite key, so the tiebreak lives inside the string).
 
-    Plan: posexplode over the shard range (a {_RVZ_SHARDS}x projection,
+    Plan: posexplode over the shard range (a 16x projection,
     whole-stage codegen), argmax via max(struct(weight, shard)) — one
     map-side-combinable groupBy per doc, one per-shard rollup. No join,
     no window."""

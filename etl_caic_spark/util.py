@@ -7,8 +7,14 @@ import os
 import re
 import shutil
 import tempfile
+import warnings
 
+from py4j.protocol import Py4JError
 from pyspark.sql import DataFrame
+
+# Flipped (once) when strip_plan_stats hits private-API drift and has to
+# return frames unstripped — observable signal for the perf regression.
+_STRIP_STATS_UNAVAILABLE = False
 
 
 def widen_narrow_scan(df: DataFrame, per_core: int = 1) -> DataFrame:
@@ -51,6 +57,7 @@ def strip_plan_stats(df: DataFrame) -> DataFrame:
     internal API ever disappears, the frame is returned unchanged:
     correctness never depends on this (it is purely a planning-cost
     fix)."""
+    global _STRIP_STATS_UNAVAILABLE
     try:
         spark = df.sparkSession
         jdf = df._jdf
@@ -60,7 +67,22 @@ def strip_plan_stats(df: DataFrame) -> DataFrame:
             jrdd, jschema, False
         )
         return DataFrame(new_jdf, spark)
-    except Exception:
+    except (AttributeError, TypeError, Py4JError):
+        # Private-API drift (e.g. Spark Connect has no _jdf). Correctness
+        # is unaffected, but the stats-squaring planning pathology this
+        # guards against silently returns — so say so ONCE per process
+        # and flip a module flag tests/operators can observe (round-10
+        # ADVICE item: the silent fallback hid the regression).
+        if not _STRIP_STATS_UNAVAILABLE:
+            _STRIP_STATS_UNAVAILABLE = True
+            warnings.warn(
+                "strip_plan_stats: internalCreateDataFrame unavailable on "
+                "this PySpark build — iterative self-join plans keep their "
+                "carried Catalyst statistics (planning-cost pathology, not "
+                "a correctness issue)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return df
 
 
