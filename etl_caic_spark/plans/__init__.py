@@ -127,78 +127,99 @@ from etl_caic_spark.plans import wave14d  # noqa: F401,E402
 from etl_caic_spark.plans import wave14e  # noqa: F401,E402
 from etl_caic_spark.plans import wave14f  # noqa: F401,E402
 
-# Round-10 rotation (r9 verdict asks #1/#2/#3), never-verified-first:
-# all 24 round-9 additions (wave9a-wave13b - the newest semantics, and
-# graph_connected_components / dedup_cluster_canonical /
-# dedup_semantic_embedding carry the round-10 pointer-doubling fix),
-# the 3 outstanding stream_* names (closing the r8 "all stream rows by
-# r10" deadline), the in-place win_pareto_cut rewrite (ask #2 requires
-# a driver row for the new prefix-construction plan), the two round-10
-# ANN recall audits (ask #3), then relational9 (5), relational10 (5),
-# scaleq (5), analytics2q (4) and the first of round6q.
-# 24+3+1+2+5+5+5+4+1 = 50. Every r9-window query went green twice
-# (driver + judge replay) and rotates out; the r1-r9 cumulative
-# driver-green set (284 hash + 6 rows-only names) is preserved in the
-# CORRECTNESS artifacts.
+# Round-11 rotation (r10 verdict ask #1), never-verified-first:
+# geo + sketch lead (r9 ask #4 HARD DEADLINE: every geo_* / sketch_*
+# name has a driver row by r11; agg_hll_sketch rides along as the one
+# sketch-family rows-only name without any driver row), then the 7
+# round-10 additions (newest semantics), subquery (3), udf (2),
+# graph (5), and the largest remaining singles pools: scan (6),
+# text (9), win (4), dedup (4) and json_variant.
+# 4+5+7+3+2+5+6+9+4+4+1 = 50. Every r10-window query went green twice
+# (driver 50/50 + judge 435-query replay) and rotates out; the r1-r10
+# cumulative driver-green set (334 hash + 6 rows-only names) is
+# preserved in the CORRECTNESS artifacts.
+#
+# ROUND-12 ENDGAME (r10 verdict ask #4) - after this window the
+# never-verified pool is exactly the 45 names below; all 45 were
+# pre-verified hash-green by a filtered tools/driver_sim.py run this
+# round (recorded in SCALE.md round 11). Pin them (plus any r11
+# additions) as the r12 window to close the pool to zero:
+#   fn_date2 fn_string2 fn_bitwise fn_map_entries fn_struct
+#   fn_struct_withfield fn_collation_ci fn_uuid_surrogate fn_xml_parse
+#   fn_from_csv agg_minmax_by agg_histogram agg_filter_clause
+#   agg_weighted_avg agg_distinct_filter sessionize_window scd2_history
+#   mv_incremental_refresh feat_winsorize anomaly_mad kfold_split
+#   cdc_apply_changes stat_linreg_group stat_chi_square
+#   stat_benford_digits sample_weighted_topk sample_reservoir_k
+#   ts_retention_cohorts join_null_safe join_scd2_pit
+#   join_aqe_broadcast_convert join_aqe_skew data_mixture_sampler
+#   data_epoch_shuffle dq_volume_anomaly dq_schema_contract
+#   udf_group_train_ols eval_ab_test embed_gram_matrix
+#   layout_sorted_within_partitions ml_future_purchase_label
+#   ml_negative_sampling cust_rfm_segments_dist attrib_time_decay
+#   token_length_batches
 _DRIVER_WINDOW = [
-    # wave9a-wave13b - the full round-9 surface
-    "stat_kendall_tau",
-    "stat_kruskal_wallis",
-    "ml_naive_bayes",
-    "eval_brier_logloss",
-    "graph_connected_components",
-    "dedup_cluster_canonical",
-    "stat_anova_f",
-    "eval_mcc",
-    "sim_pq_adc",
-    "data_curriculum_order",
-    "stat_levene",
-    "feat_impute_median_group",
-    "ml_boosted_stumps",
-    "multimodal_tiff_codec",
-    "scan_fixed_width",
-    "sink_compressed_roundtrip",
-    "eval_krippendorff_alpha",
-    "dedup_semantic_embedding",
-    "eval_ece",
-    "stat_friedman",
-    "eval_rouge_corpus",
-    "data_pii_scrub",
-    "text_ngram_novelty",
-    "eval_pass_at_k",
-    # the last stream_* names without a driver row (r8 deadline)
-    "stream_outer_join",
-    "stream_multi_batch_window",
-    "stream_session_merge_batches",
-    # round-10 work: the pareto rewrite + the ANN recall audits
-    "win_pareto_cut",
-    "eval_pq_recall",
-    "eval_ivf_recall",
-    # relational9 - never verified
-    "merge_full",
-    "join_asof_nearest",
-    "win_sliding_distinct",
-    "join_interval_overlap",
-    "agg_decimal_exact",
-    # relational10 - never verified
-    "graph_degree_topk",
-    "ts_resample_ohlc",
-    "ts_ewma",
-    "feat_target_encode",
-    "feat_scale_robust",
-    # scaleq - never verified
-    "agg_salted_skew",
-    "join_bucketed",
-    "compact_small_files",
-    "layout_zorder",
-    "join_shuffle_hash",
-    # analytics2q - never verified
-    "graph_sssp_weighted",
-    "geo_haversine_knn",
-    "agg_skew_kurtosis",
-    "dq_constraint_suite",
-    # round6q - never verified (first of four; rest next round)
-    "agg_median_selection",
+    # geo - never verified (r9 ask #4 deadline)
+    "geo_point_in_polygon",
+    "geo_quadkey_rollup",
+    "geo_polygon_area_centroid",
+    "geo_grid_join",
+    # sketch - never verified (same deadline; agg_hll_sketch rows-only)
+    "sketch_kmv_setops",
+    "sketch_countmin_freq",
+    "sketch_bloom_membership",
+    "sketch_histogram_quantile",
+    "agg_hll_sketch",
+    # the 7 round-10 additions (wave14b-f) - newest semantics
+    "eval_mrr",
+    "stat_js_divergence",
+    "stat_wilcoxon_signed_rank",
+    "stat_kaplan_meier",
+    "eval_silhouette_labels",
+    "data_rendezvous_shard",
+    "ts_holt_winters",
+    # subquery - never verified
+    "subquery_in",
+    "subquery_exists_correlated",
+    "subquery_not_in_nulls",
+    # udf - never verified
+    "udf_map_in_arrow",
+    "udf_python_udtf",
+    # graph - never verified
+    "graph_triangles",
+    "graph_bfs_hops",
+    "graph_jaccard_links",
+    "graph_kcore_peel",
+    "graph_clustering_coeff",
+    # scan - never verified
+    "scan_binary_files",
+    "scan_csv_dialect",
+    "scan_jsonl_corrupt",
+    "scan_parquet_corrupt_tolerance",
+    "scan_recursive_glob",
+    "scan_rest_paginated",
+    # text - never verified
+    "text_repetition",
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "text_boilerplate_ngrams",
+    "text_bpe_pair_counts",
+    "text_span_dedup",
+    "text_substring_contamination",
+    "text_word_entropy",
+    "text_vocab_coverage",
+    # win - never verified
+    "win_range_frame",
+    "win_pct_change",
+    "win_concurrent_sweep",
+    "win_rolling_median",
+    # dedup - never verified
+    "url_dedup",
+    "dedup_keep_best",
+    "dedup_normalized_exact",
+    "dedup_incremental_ingest",
+    # json - never verified
+    "json_variant",
 ]
 
 
