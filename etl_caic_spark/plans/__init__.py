@@ -126,6 +126,7 @@ from etl_caic_spark.plans import wave14c  # noqa: F401,E402
 from etl_caic_spark.plans import wave14d  # noqa: F401,E402
 from etl_caic_spark.plans import wave14e  # noqa: F401,E402
 from etl_caic_spark.plans import wave14f  # noqa: F401,E402
+from etl_caic_spark.plans import wave15a  # noqa: F401,E402
 
 # Round-11 rotation (r10 verdict ask #1), never-verified-first:
 # geo + sketch lead (r9 ask #4 HARD DEADLINE: every geo_* / sketch_*
@@ -140,10 +141,12 @@ from etl_caic_spark.plans import wave14f  # noqa: F401,E402
 # preserved in the CORRECTNESS artifacts.
 #
 # ROUND-12 ENDGAME (r10 verdict ask #4) - after this window the
-# never-verified pool is exactly the 45 names below; all 45 were
-# pre-verified hash-green by a filtered tools/driver_sim.py run this
-# round (recorded in SCALE.md round 11). Pin them (plus any r11
-# additions) as the r12 window to close the pool to zero:
+# never-verified pool is exactly the 45 names below plus the 5 round-11
+# wave15a additions (eval_confusion_prf, eval_perplexity_heldout,
+# data_dpo_pairs, agg_mode_exact, ts_changepoint_cusum) = exactly 50.
+# All 50 were pre-verified hash-green by filtered tools/driver_sim.py
+# runs this round (recorded in SCALE.md round 11). Pin them as the r12
+# window to close the pool to zero:
 #   fn_date2 fn_string2 fn_bitwise fn_map_entries fn_struct
 #   fn_struct_withfield fn_collation_ci fn_uuid_surrogate fn_xml_parse
 #   fn_from_csv agg_minmax_by agg_histogram agg_filter_clause
