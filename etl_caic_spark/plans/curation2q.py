@@ -335,7 +335,7 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     what survives a 100-TB score table; the oracle's row_number mirror
     pins the identical rank semantics. The LM table broadcasts onto
     the token stream (vocab << corpus)."""
-    from etl_caic_spark.operators.selection import kth_smallest
+    from etl_caic_spark.operators.selection import kth_smallest_multi
 
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("l"))
@@ -362,9 +362,11 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("surprisal_micro"),
         )
     ).localCheckpoint()
-    n = per.count()
-    t1 = kth_smallest(per, "surprisal_micro", (n + 2) // 3)
-    t2 = kth_smallest(per, "surprisal_micro", (2 * n + 2) // 3)
+    # multi-k bisection (round 11): both tertile ranks narrow from the
+    # same histogram scan per round and n rides the bounds job.
+    n, (t1, t2) = kth_smallest_multi(
+        per, "surprisal_micro", lambda n: [(n + 2) // 3, (2 * n + 2) // 3]
+    )
     return per.select(
         "doc_id",
         "n_toks",

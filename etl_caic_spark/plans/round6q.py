@@ -53,14 +53,18 @@ def agg_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact (per-group) and agg_approx_quantile (GK sketch) are the
     siblings; this anchors the exact-global case they cannot cover at
     100 TB."""
-    from etl_caic_spark.operators.selection import kth_smallest
+    from etl_caic_spark.operators.selection import kth_smallest_multi
 
     t = load_table(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c")
     )
-    n = t.count()
-    med = kth_smallest(t, "c", (n + 1) // 2)
-    p99 = kth_smallest(t, "c", (n * 99 + 99) // 100)
+    # multi-k bisection (round 11): both order statistics narrow from
+    # the SAME histogram scan each round, and n comes from the bounds
+    # job — 1 + rounds + 1 jobs total where the two independent
+    # bisections plus count() used to take ~9.
+    n, (med, p99) = kth_smallest_multi(
+        t, "c", lambda n: [(n + 1) // 2, (n * 99 + 99) // 100]
+    )
     schema = T.StructType(
         [
             T.StructField("n", T.LongType()),

@@ -247,8 +247,20 @@ def pq_shortlist_frames(
         .groupBy("vec_id")
         .agg(F.sum("part").cast("bigint").alias("adc_micro2"))
     )
-    short = adc.orderBy(F.asc("adc_micro2"), F.asc("vec_id")).limit(_PQ_SHORTLIST)
-    return sub, q, short
+    # localCheckpoint the 100-row shortlist and the 64-row query slice:
+    # both have MULTIPLE cross-job consumers (sim_pq_adc's rerank;
+    # eval_pq_recall's n_shortlist AND n_hit legs, whose separate jobs
+    # would otherwise each re-run the entire two-Lloyd-round assignment
+    # pipeline — broadcast-exchange reuse never crosses job boundaries;
+    # the ml_boosted_stumps round-11 finding, applied fleet-wide to
+    # 1-row/constant-size result frames).
+    short = (
+        adc.orderBy(F.asc("adc_micro2"), F.asc("vec_id"))
+        .limit(_PQ_SHORTLIST)
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    return sub, q.coalesce(1).localCheckpoint(), short
 
 
 @register("sim_pq_adc", oracle=_PQ_SQL, tags=("similarity", "llm", "scale"))
