@@ -734,7 +734,7 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/selection.kth_smallest: histogram bisection, bounded
     4096-row aggregates) — no global sort anywhere. At 100 TB the
     daily rollup is the only data-scale pass."""
-    from etl_caic_spark.operators.selection import kth_smallest
+    from etl_caic_spark.operators.selection import kth_smallest_multi
 
     d = (
         load_table(spark, sf_dir, "orders")
@@ -745,7 +745,6 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
     ).localCheckpoint()
-    n_days = idx.count()
     a = idx.select(F.col("t").alias("at"), F.col("x").alias("ax"))
     b = idx.select(F.col("t").alias("bt"), F.col("x").alias("bx"))
     pairs = a.join(b, F.col("bt") > F.col("at")).select(
@@ -758,14 +757,19 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("slope_micro")
     )
     pairs = pairs.localCheckpoint()
-    n_pairs = pairs.count()
-    slope = kth_smallest(pairs, "slope_micro", (n_pairs + 1) // 2)
+    # n_pairs / n_days ride the selection's bounds jobs (round 11) —
+    # no separate count() actions.
+    n_pairs, (slope,) = kth_smallest_multi(
+        pairs, "slope_micro", lambda n: [(n + 1) // 2]
+    )
     resid = idx.select(
         (F.col("x") * F.lit(1000000) - F.lit(slope) * F.col("t")).alias(
             "r"
         )
     )
-    intercept = kth_smallest(resid, "r", (n_days + 1) // 2)
+    n_days, (intercept,) = kth_smallest_multi(
+        resid, "r", lambda n: [(n + 1) // 2]
+    )
     schema = T.StructType(
         [
             T.StructField("n_days", T.LongType()),

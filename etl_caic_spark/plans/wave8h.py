@@ -137,9 +137,19 @@ def eval_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit you run on a stratified doc_id SAMPLE (same query) while the
     candidate leg runs on the full corpus. Counts reduce to one row."""
     d = load_table(spark, sf_dir, "documents")
-    kept = D.minhash_lsh_pairs_md5(
-        d, "doc_id", "text", num_hashes=16, bands=8, k=3, threshold=0.5
-    ).select("doc_a", "doc_b")
+    # localCheckpoint both pair lists (round 11): n_cand + n_tp consume
+    # `kept` and n_truth + n_tp consume `truth` from SEPARATE legs of
+    # the final one-row assembly — without materialization the LSH
+    # pipeline and the exact inverted-index self-join each execute
+    # TWICE (plan-subtree reuse does not exist across DataFrame-composed
+    # legs). The pair lists are the SMALL output of the expensive work.
+    kept = (
+        D.minhash_lsh_pairs_md5(
+            d, "doc_id", "text", num_hashes=16, bands=8, k=3, threshold=0.5
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     # fan-out width = the session's parallelism, not a literal core
     # count — on a cluster this tracks total executor slots (r8 verdict
     # ask #6)
@@ -171,6 +181,7 @@ def eval_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(3 * F.col("i") >= F.col("sza") + F.col("szb"))
         .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
     n_truth = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
     n_cand = kept.agg(F.count("*").cast("bigint").alias("n_cand"))
