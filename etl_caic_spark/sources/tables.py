@@ -60,6 +60,20 @@ def _sniff_ts(path: str):
     t = pq.read_schema(p).field("ts").type
     if pa.types.is_timestamp(t):
         if t.unit == "ns":
+            # Arrow reports BOTH parquet TIMESTAMP(NANOS) and legacy
+            # INT96 as timestamp[ns] — but Spark reads INT96 natively as
+            # TimestampType (it is what Spark itself WRITES by default,
+            # so every replicated/derived events fixture is INT96; found
+            # by the round-11 wave15 scale probe misrouting a replica to
+            # the nanosAsLong branch). Disambiguate on the parquet
+            # PHYSICAL type before treating ns as annotated-nanos.
+            pfs = pq.ParquetFile(p).schema
+            phys = {
+                pfs.column(i).name: pfs.column(i).physical_type
+                for i in range(len(pfs))
+            }
+            if phys.get("ts") == "INT96":
+                return "timestamp_tz"
             # Spark's parquet reader rejects TIMESTAMP(NANOS); under
             # spark.sql.legacy.parquet.nanosAsLong it surfaces as LongType,
             # so annotated nanos take the same branch as unannotated INT64.
