@@ -170,3 +170,40 @@ def test_strip_plan_stats_pins_catalyst_size(spark):
     # 2^7 = 128 > 101, so every rep has reached the chain root (-1)
     assert rows[50] == -1 and rows[99] == -1
     assert replab.schema.fieldNames() == ["rep", "newlabel"]
+
+
+def test_strip_plan_stats_fallback_warns_once(spark):
+    """Round-10 ADVICE closure: when the private APIs drift and the
+    stats strip silently degrades to a no-op, the degradation must be
+    OBSERVABLE — a one-time RuntimeWarning plus the module flag — so
+    the planning-cost pathology it guards against cannot return
+    unnoticed. Simulated by handing it an object whose _jdf access
+    raises AttributeError (what Spark Connect frames do)."""
+    import warnings as _warnings
+
+    from etl_caic_spark import util as U
+
+    class _FakeFrame:
+        @property
+        def sparkSession(self):
+            return spark
+
+        @property
+        def _jdf(self):
+            raise AttributeError("no _jdf on this build")
+
+    fake = _FakeFrame()
+    old_flag = U._STRIP_STATS_UNAVAILABLE
+    U._STRIP_STATS_UNAVAILABLE = False
+    try:
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            out1 = U.strip_plan_stats(fake)
+            out2 = U.strip_plan_stats(fake)
+        assert out1 is fake and out2 is fake  # unchanged frames back
+        runtime = [w for w in caught if issubclass(w.category, RuntimeWarning)]
+        assert len(runtime) == 1, "exactly one warning for repeated fallbacks"
+        assert "strip_plan_stats" in str(runtime[0].message)
+        assert U._STRIP_STATS_UNAVAILABLE is True
+    finally:
+        U._STRIP_STATS_UNAVAILABLE = old_flag

@@ -108,3 +108,48 @@ def test_time_decay_credits_sum_to_one_per_purchase(spark, sf_dir):
     for r in sums:
         # per-touch rounding to 1e-6 can drift the sum by n_touches ulps
         assert abs(r["s"] - 1.0) < 0.01, r
+
+
+def test_kth_smallest_multi_matches_sorted_reference(spark):
+    """The round-11 shared-scan generalization: several ks (duplicated,
+    extreme, and mid-range — some resolving in different bisection
+    rounds) against sorted() on the same adversarial data, plus the
+    bounds-job n."""
+    from etl_caic_spark.operators.selection import kth_smallest_multi
+
+    vals = [((i * 2654435761) % 10_000_003) - 5_000_000 for i in range(977)]
+    vals += [42] * 300 + [-5_000_000, 4_999_999]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    ordered = sorted(vals)
+    n_want = len(vals)
+    ks = [1, 2, n_want // 4, (n_want + 1) // 2, (n_want + 1) // 2,
+          n_want - 1, n_want]
+    n, got = kth_smallest_multi(df, "x", lambda n: ks)
+    assert n == n_want
+    assert got == [ordered[k - 1] for k in ks]
+
+
+def test_kth_smallest_multi_full_width_bigint_domain(spark):
+    """Every range leg must keep the DECIMAL(38,0) ladder when the
+    domain forces it, even in the multi-range CASE."""
+    from etl_caic_spark.operators.selection import kth_smallest_multi
+
+    lo, hi = -(2**63), 2**63 - 1
+    vals = [lo, lo + 1, -17, 0, 3, 99, 2**62, hi - 1, hi]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    ordered = sorted(vals)
+    n, got = kth_smallest_multi(df, "x", lambda n: [1, 3, 5, n])
+    assert n == len(vals)
+    assert got == [ordered[0], ordered[2], ordered[4], ordered[-1]]
+
+
+def test_kth_smallest_multi_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from etl_caic_spark.operators.selection import kth_smallest_multi
+
+    df = spark.createDataFrame([(v,) for v in range(10)], "x long")
+    with _pytest.raises(ValueError):
+        kth_smallest_multi(df, "x", lambda n: [0])
+    with _pytest.raises(ValueError):
+        kth_smallest_multi(df, "x", lambda n: [n + 1])
