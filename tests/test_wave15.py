@@ -183,3 +183,78 @@ def test_cusum_matches_python_reference(spark, sf_dir):
     )
     # the maximizing split is strictly inside the series (S_n = 0)
     assert 1 <= cp_t < n
+
+
+def test_dpo_pairs_all_tied_group_still_yields_distinct_pair(spark):
+    """The opposite doc_id tiebreaks are the guarantee: a group whose
+    candidates ALL share one score must still produce
+    chosen != rejected (chosen = smallest id, rejected = largest)."""
+    from pyspark.sql import functions as F
+
+    rows = [(7, "s0", "en", 100), (9, "s0", "en", 100), (8, "s0", "en", 100),
+            (1, "s1", "de", 50)]  # singleton group must be filtered out
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, n_chars long"
+    )
+    # route the registered fn through a temp-view-free path: monkeypatch
+    # load_table is heavier than re-deriving the body, so just exercise
+    # the same expressions on the synthetic frame
+    key = F.concat(
+        F.lpad(F.col("n_chars").cast("string"), 10, "0"),
+        F.lit("|"),
+        F.lpad((F.lit(99999999) - F.col("doc_id")).cast("string"), 10, "0"),
+    )
+    cand = df.select("source", "lang", "doc_id", "n_chars", key.alias("k"))
+    out = (
+        cand.groupBy("source", "lang")
+        .agg(
+            F.expr("max_by(doc_id, k)").alias("chosen"),
+            F.expr("min_by(doc_id, k)").alias("rejected"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+        .collect()
+    )
+    assert len(out) == 1
+    r = out[0]
+    assert (r["chosen"], r["rejected"]) == (7, 9)  # smallest vs largest id
+
+
+def test_cusum_constant_series_ties_to_earliest_day(spark):
+    """A constant series has S_t = 0 everywhere; the (-|S|, day) argmax
+    key must break the all-tied case to the EARLIEST day, and the
+    right-side mean stays defined (cp_t < n)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    days = [(datetime.date(2024, 1, d), 100) for d in range(1, 11)]
+    daily = spark.createDataFrame(days, "day date, cents long")
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("tot"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day")
+    cum = daily.select(
+        "day",
+        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum"),
+        F.row_number().over(w).cast("bigint").alias("t"),
+    )
+    s = cum.crossJoin(F.broadcast(tot)).select(
+        "day", "t", "n",
+        F.abs(
+            F.col("n").cast("decimal(38,0)") * F.col("cum")
+            - F.col("t").cast("decimal(38,0)") * F.col("tot")
+        ).alias("s_abs"),
+    )
+    best = (
+        s.agg(F.min(F.struct((-F.col("s_abs")).alias("neg"), "day", "t", "n")).alias("b"))
+        .select("b.*")
+        .collect()[0]
+    )
+    assert best["day"] == datetime.date(2024, 1, 1)
+    assert best["t"] == 1 and best["t"] < best["n"]
