@@ -116,18 +116,21 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring: portable md5 registers → bit-identical estimates on both
     engines; exact distinct carried alongside for auditability).
 
-    Plan shape: one scan computes (bucket, rho) per row — the 52
-    bit-length comparisons fold into a single codegen'd projection —
-    then registers are two map-side-combinable groupBys of at most
-    groups × 256 rows; the merge row reuses the per-group registers
-    (max over an already-tiny frame), and the only non-sketch cost is
-    the exact count-distinct audit column. At 100 TB you'd drop the
-    audit column and the sketch is one pass + a 256-row-per-group
-    reduce — the canonical distributed cardinality plan."""
+    Plan shape (round 11): ONE fact scan to the distinct (grp, key)
+    frame — duplicates of a key produce the SAME md5/rho, so registers
+    computed over distinct keys are bit-identical while the md5 work
+    shrinks by the duplication factor — checkpointed and shared by the
+    sketch leg AND both exact-audit legs (previously three independent
+    fact scans). Registers are two map-side-combinable groupBys of at
+    most groups × 256 rows; the merge row reuses the per-group
+    registers. At 100 TB you'd drop the audit columns and the sketch is
+    one pass + a 256-row-per-group reduce — the canonical distributed
+    cardinality plan."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("grp"), F.col("l_orderkey").alias("k")
     )
-    h = li.select(
+    dk = li.distinct().localCheckpoint()
+    h = dk.select(
         "grp",
         "k",
         F.conv(
@@ -196,10 +199,13 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("est_raw"))
         .alias("est_distinct"),
     )
-    exact = li.groupBy("grp").agg(
-        F.countDistinct("k").cast("bigint").alias("exact_distinct")
+    # audits ride the SAME distinct frame: per-group rows are already
+    # distinct (count(*) == count distinct), the __all__ leg dedups the
+    # small cross-group key overlap only.
+    exact = dk.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("exact_distinct")
     )
-    exact_all = li.agg(
+    exact_all = dk.agg(
         F.countDistinct("k").cast("bigint").alias("exact_distinct")
     ).select(F.lit("__all__").alias("grp"), "exact_distinct")
     return corrected.join(
