@@ -37,6 +37,7 @@ from etl_caic_spark.operators.micronat import iln
 from etl_caic_spark.operators.prefix import with_global_order
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
+from etl_caic_spark.util import widen_narrow_scan
 
 # --------------------------------------------------------------------------
 # priv_t_closeness
@@ -351,7 +352,11 @@ def eval_chrf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominant-but-embarrassingly-parallel stage, and the first groupBy
     collapses it map-side before any shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = d.select(
+    # widen_narrow_scan (round 11): a single small parquet file arrives
+    # as ONE partition, which serializes the ~1000x char-gram explode
+    # onto one core (observed single-task stages) — the shingle-explode
+    # hazard widen_narrow_scan exists for.
+    pairs = widen_narrow_scan(d).select(
         F.expr("doc_id div 2").alias("pair_id"),
         (F.col("doc_id") % 2).alias("side"),
         F.col("text"),
