@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_caic_spark.util import widen_narrow_scan
+from etl_caic_spark.util import strip_plan_stats, widen_narrow_scan
 
 
 def _sq_dist(a, b):
@@ -137,6 +137,11 @@ def kmeans_fit(
             )
             .localCheckpoint()
         )
+        # strip_plan_stats: next round's crossJoin carries this
+        # checkpoint's computed stats (scaled by the corpus size every
+        # Lloyd step) - bit growth is linear per round here, but the r10
+        # registry convention applies to every iterative checkpoint loop.
+        centroids = strip_plan_stats(centroids)
     return centroids
 
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_caic_spark.util import strip_plan_stats
+
 SCALE = 10**12
 
 
@@ -67,5 +69,9 @@ def pagerank(
         # execute fine as one deep plan. For to-convergence runs (tens of
         # iterations) the cadence keeps planning cost bounded.
         if (it + 1) % 4 == 0 and it + 1 < iterations:
-            ranks = ranks.localCheckpoint()
+            # strip_plan_stats per the r10 registry convention: the
+            # carried stats otherwise scale by the edge-table size at
+            # every checkpoint cadence (linear bit growth; squaring-free
+            # but unbounded for to-convergence runs).
+            ranks = strip_plan_stats(ranks.localCheckpoint())
     return ranks.select("v", F.col("r").alias("rank_fp"))

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_caic_spark.registry import register
+from etl_caic_spark.util import strip_plan_stats
 from etl_caic_spark.sources import load_table
 
 _K = 32  # neighbors kept per node (smallest ids — deterministic)
@@ -358,7 +359,12 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = deg0.where(F.col("deg") >= _KCORE_K).select("v")
     d = None
     for _ in range(_KCORE_ROUNDS):
-        survivors = survivors.localCheckpoint()
+        # strip_plan_stats: survivors semi-joins frames derived from its
+        # own previous round - carried sizeInBytes compounds per round
+        # without the strip (the r10 registry convention for ALL
+        # iterative self-join loops; bounded here, but the loop must
+        # stay planner-safe at any round count).
+        survivors = strip_plan_stats(survivors.localCheckpoint())
         edges = nbr_all.join(survivors, "v", "left_semi").join(
             survivors.select(F.col("v").alias("w")), "w", "left_semi"
         )
