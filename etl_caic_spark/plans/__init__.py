@@ -128,101 +128,83 @@ from etl_caic_spark.plans import wave14e  # noqa: F401,E402
 from etl_caic_spark.plans import wave14f  # noqa: F401,E402
 from etl_caic_spark.plans import wave15a  # noqa: F401,E402
 
-# Round-11 rotation (r10 verdict ask #1), never-verified-first:
-# geo + sketch lead (r9 ask #4 HARD DEADLINE: every geo_* / sketch_*
-# name has a driver row by r11; agg_hll_sketch rides along as the one
-# sketch-family rows-only name without any driver row), then the 7
-# round-10 additions (newest semantics), subquery (3), udf (2),
-# graph (5), and the largest remaining singles pools: scan (6),
-# text (9), win (4), dedup (4) and json_variant.
-# 4+5+7+3+2+5+6+9+4+4+1 = 50. Every r10-window query went green twice
-# (driver 50/50 + judge 435-query replay) and rotates out; the r1-r10
-# cumulative driver-green set (334 hash + 6 rows-only names) is
-# preserved in the CORRECTNESS artifacts.
+# Round-12 ENDGAME rotation (r11 verdict ask #1): the window IS the
+# entire remaining never-driver-verified pool — 45 r10-era leftovers +
+# the 5 round-11 wave15a additions = exactly 50. All 50 were
+# pre-verified hash-green by filtered tools/driver_sim.py in round 11
+# (SCALE.md round 11) and the r11 judge independently re-verified 12.
+# When CORRECTNESS_r12 lands green, cumulative driver-verified coverage
+# = 440/440 and the pool is closed.
 #
-# ROUND-12 ENDGAME (r10 verdict ask #4) - after this window the
-# never-verified pool is exactly the 45 names below plus the 5 round-11
-# wave15a additions (eval_confusion_prf, eval_perplexity_heldout,
-# data_dpo_pairs, agg_mode_exact, ts_changepoint_cusum) = exactly 50.
-# All 50 were pre-verified hash-green by filtered tools/driver_sim.py
-# runs this round (recorded in SCALE.md round 11). Pin them as the r12
-# window to close the pool to zero:
-#   fn_date2 fn_string2 fn_bitwise fn_map_entries fn_struct
-#   fn_struct_withfield fn_collation_ci fn_uuid_surrogate fn_xml_parse
-#   fn_from_csv agg_minmax_by agg_histogram agg_filter_clause
-#   agg_weighted_avg agg_distinct_filter sessionize_window scd2_history
-#   mv_incremental_refresh feat_winsorize anomaly_mad kfold_split
-#   cdc_apply_changes stat_linreg_group stat_chi_square
-#   stat_benford_digits sample_weighted_topk sample_reservoir_k
-#   ts_retention_cohorts join_null_safe join_scd2_pit
-#   join_aqe_broadcast_convert join_aqe_skew data_mixture_sampler
-#   data_epoch_shuffle dq_volume_anomaly dq_schema_contract
-#   udf_group_train_ols eval_ab_test embed_gram_matrix
-#   layout_sorted_within_partitions ml_future_purchase_label
-#   ml_negative_sampling cust_rfm_segments_dist attrib_time_decay
-#   token_length_batches
+# ROUND-13 NOTE (r11 verdict ask #4): any wave16+ additions CANNOT fit
+# this window — pre-verify them via filtered driver_sim, record the
+# green runs in SCALE.md round 12, and pin them as the r13 window head
+# so the never-verified pool never regrows past one round.
+# r13 window head (wave16, pre-verified hash-green in SCALE.md r12):
+#   eval_wer_corpus eval_cer_corpus data_pack_bestfit
+#   stat_page_hinkley text_minhash_containment_eval agg_heavy_hitters_exact
 _DRIVER_WINDOW = [
-    # geo - never verified (r9 ask #4 deadline)
-    "geo_point_in_polygon",
-    "geo_quadkey_rollup",
-    "geo_polygon_area_centroid",
-    "geo_grid_join",
-    # sketch - never verified (same deadline; agg_hll_sketch rows-only)
-    "sketch_kmv_setops",
-    "sketch_countmin_freq",
-    "sketch_bloom_membership",
-    "sketch_histogram_quantile",
-    "agg_hll_sketch",
-    # the 7 round-10 additions (wave14b-f) - newest semantics
-    "eval_mrr",
-    "stat_js_divergence",
-    "stat_wilcoxon_signed_rank",
-    "stat_kaplan_meier",
-    "eval_silhouette_labels",
-    "data_rendezvous_shard",
-    "ts_holt_winters",
-    # subquery - never verified
-    "subquery_in",
-    "subquery_exists_correlated",
-    "subquery_not_in_nulls",
-    # udf - never verified
-    "udf_map_in_arrow",
-    "udf_python_udtf",
-    # graph - never verified
-    "graph_triangles",
-    "graph_bfs_hops",
-    "graph_jaccard_links",
-    "graph_kcore_peel",
-    "graph_clustering_coeff",
-    # scan - never verified
-    "scan_binary_files",
-    "scan_csv_dialect",
-    "scan_jsonl_corrupt",
-    "scan_parquet_corrupt_tolerance",
-    "scan_recursive_glob",
-    "scan_rest_paginated",
-    # text - never verified
-    "text_repetition",
-    "text_unigram_logprob",
-    "text_bigram_logprob",
-    "text_boilerplate_ngrams",
-    "text_bpe_pair_counts",
-    "text_span_dedup",
-    "text_substring_contamination",
-    "text_word_entropy",
-    "text_vocab_coverage",
-    # win - never verified
-    "win_range_frame",
-    "win_pct_change",
-    "win_concurrent_sweep",
-    "win_rolling_median",
-    # dedup - never verified
-    "url_dedup",
-    "dedup_keep_best",
-    "dedup_normalized_exact",
-    "dedup_incremental_ingest",
-    # json - never verified
-    "json_variant",
+    # fn - relational singles (10)
+    "fn_date2",
+    "fn_string2",
+    "fn_bitwise",
+    "fn_map_entries",
+    "fn_struct",
+    "fn_struct_withfield",
+    "fn_collation_ci",
+    "fn_uuid_surrogate",
+    "fn_xml_parse",
+    "fn_from_csv",
+    # agg (6)
+    "agg_minmax_by",
+    "agg_histogram",
+    "agg_filter_clause",
+    "agg_weighted_avg",
+    "agg_distinct_filter",
+    "agg_mode_exact",
+    # stat (3)
+    "stat_linreg_group",
+    "stat_chi_square",
+    "stat_benford_digits",
+    # sample (2)
+    "sample_weighted_topk",
+    "sample_reservoir_k",
+    # ts (2)
+    "ts_retention_cohorts",
+    "ts_changepoint_cusum",
+    # join (4)
+    "join_null_safe",
+    "join_scd2_pit",
+    "join_aqe_broadcast_convert",
+    "join_aqe_skew",
+    # data (3)
+    "data_mixture_sampler",
+    "data_epoch_shuffle",
+    "data_dpo_pairs",
+    # dq (2)
+    "dq_volume_anomaly",
+    "dq_schema_contract",
+    # eval (3)
+    "eval_ab_test",
+    "eval_confusion_prf",
+    "eval_perplexity_heldout",
+    # udf (1)
+    "udf_group_train_ols",
+    # remaining singles (14)
+    "sessionize_window",
+    "scd2_history",
+    "mv_incremental_refresh",
+    "feat_winsorize",
+    "anomaly_mad",
+    "kfold_split",
+    "cdc_apply_changes",
+    "embed_gram_matrix",
+    "layout_sorted_within_partitions",
+    "ml_future_purchase_label",
+    "ml_negative_sampling",
+    "cust_rfm_segments_dist",
+    "attrib_time_decay",
+    "token_length_batches",
 ]
 
 
