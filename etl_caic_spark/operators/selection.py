@@ -75,6 +75,12 @@ def kth_smallest_multi(df: DataFrame, col: str, ks_of_n) -> tuple[int, list[int]
     ).first()
     n = int(bounds["n"])
     ks = list(ks_of_n(n))
+    if not ks:
+        # Early return BEFORE touching lo/hi: on an empty frame they are
+        # None (int(None) raises) and with no ks the scan loop below
+        # would build a malformed `CASE END` / `filter(None)` (r11
+        # ADVICE). No statistic requested -> nothing to scan.
+        return n, []
     for k in ks:
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")

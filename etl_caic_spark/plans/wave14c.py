@@ -141,21 +141,33 @@ def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # DECIMAL(38,0) for the cubic product (round-10 ADVICE): 2n(n+1)(2n+1)
     # exceeds int64 past n ~ 2e6 nonzero pairs, and non-ANSI Spark bigint
-    # arithmetic would WRAP silently — decimal math stays exact to 1e38
-    # (DuckDB's side already errors loudly on BIGINT overflow, and its
-    # HUGEINT sums never wrap). The published var_x48 column remains
-    # BIGINT for schema parity; past int64 the publish cast fails loudly
-    # on the oracle side instead of hashing a silently-wrong value, and
-    # z_micro is computed from the exact decimal either way.
+    # arithmetic would WRAP silently — decimal math stays exact to 1e38.
+    # The published var_x48 column remains BIGINT for schema parity. A
+    # bare decimal->bigint cast is NOT loud under non-ANSI Spark (it
+    # returns NULL silently; only DuckDB errors — r11 ADVICE), so the
+    # publish guard below raises explicitly past int64 rather than
+    # relying on the oracle leg being run; z_micro is computed from the
+    # exact decimal either way.
     n = F.col("n_pairs").cast("decimal(38,0)")
     var_x48 = 2 * n * (n + 1) * (2 * n + 1) - F.col("tie_term").cast(
         "decimal(38,0)"
+    )
+    var_x48_pub = F.when(
+        var_x48 <= F.lit(9223372036854775807).cast("decimal(38,0)"),
+        var_x48.cast("bigint"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("stat_wilcoxon_signed_rank: var_x48 exceeds int64: "),
+                var_x48.cast("string"),
+            )
+        )
     )
     return agg.select(
         "n_pairs",
         "t_plus_x2",
         F.expr("n_pairs * (n_pairs + 1) div 2").cast("bigint").alias("mu_x2"),
-        var_x48.cast("bigint").alias("var_x48"),
+        var_x48_pub.alias("var_x48"),
         F.when(
             var_x48 > 0,
             F.round(

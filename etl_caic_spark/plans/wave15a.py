@@ -289,10 +289,10 @@ def eval_perplexity_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DPO_SQL = """
     WITH cand AS (
       SELECT source, lang, doc_id, n_chars,
-             lpad(CAST(n_chars AS VARCHAR), 10, '0') || '|' ||
-               lpad(CAST(99999999 - doc_id AS VARCHAR), 10, '0') AS ck,
-             lpad(CAST(n_chars AS VARCHAR), 10, '0') || '|' ||
-               lpad(CAST(99999999 - doc_id AS VARCHAR), 10, '0') AS rk
+             lpad(CAST(n_chars AS VARCHAR), 12, '0') || '|' ||
+               lpad(CAST(999999999999 - doc_id AS VARCHAR), 12, '0') AS ck,
+             lpad(CAST(n_chars AS VARCHAR), 12, '0') || '|' ||
+               lpad(CAST(999999999999 - doc_id AS VARCHAR), 12, '0') AS rk
       FROM documents
     )
     SELECT source, lang,
@@ -323,12 +323,37 @@ def data_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE map-side-combinable groupBy carrying both max_by and
     min_by — no window, no self-join, no per-group sort. At 100 TB
     this is a single shuffle at prompt-group grain; skewed mega-groups
-    combine map-side because max_by/min_by are associative."""
+    combine map-side because max_by/min_by are associative.
+
+    Key-domain bound (r11 ADVICE): the zero-padded encoding is
+    order-isomorphic only for 0 <= n_chars < 1e12 and
+    0 <= doc_id < 1e12; out-of-domain rows would silently corrupt the
+    ordering identically on both engines, so the Spark side raises
+    loudly instead of emitting a key."""
     d = load_table(spark, sf_dir, "documents")
-    key = F.concat(
-        F.lpad(F.col("n_chars").cast("string"), 10, "0"),
-        F.lit("|"),
-        F.lpad((F.lit(99999999) - F.col("doc_id")).cast("string"), 10, "0"),
+    in_domain = (
+        (F.col("n_chars") >= 0)
+        & (F.col("n_chars") < 1000000000000)
+        & (F.col("doc_id") >= 0)
+        & (F.col("doc_id") < 1000000000000)
+    )
+    key = F.when(
+        in_domain,
+        F.concat(
+            F.lpad(F.col("n_chars").cast("string"), 12, "0"),
+            F.lit("|"),
+            F.lpad((F.lit(999999999999) - F.col("doc_id")).cast("string"), 12, "0"),
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("data_dpo_pairs: key domain exceeded (doc_id="),
+                F.col("doc_id").cast("string"),
+                F.lit(", n_chars="),
+                F.col("n_chars").cast("string"),
+                F.lit(")"),
+            )
+        )
     )
     cand = d.select("source", "lang", "doc_id", "n_chars", key.alias("k"))
     return (
@@ -360,7 +385,7 @@ _MODE_SQL = """
     ),
     keyed AS (
       SELECT user_id, event_type, cnt,
-             lpad(CAST(99999999 - cnt AS VARCHAR), 8, '0') || event_type
+             lpad(CAST(999999999999 - cnt AS VARCHAR), 12, '0') || event_type
                AS k
       FROM ec
     )
@@ -387,7 +412,12 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     then user grain; no window, no join. At 100 TB the first groupBy is
     the only fact-scale shuffle and partial-aggregates to the distinct
     grain map-side; the second works on |users x types| which combines
-    down to |users|."""
+    down to |users|.
+
+    Key-domain bound (r11 ADVICE): the inverted-count encoding is
+    order-isomorphic only for cnt < 1e12 (a trillion events per
+    (user, type) cell); beyond that the Spark side raises loudly
+    instead of silently corrupting the tiebreak on both engines."""
     e = load_table(spark, sf_dir, "events")
     ec = e.groupBy("user_id", "event_type").agg(
         F.count("*").cast("bigint").alias("cnt")
@@ -397,7 +427,17 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "cnt",
         F.concat(
-            F.lpad((F.lit(99999999) - F.col("cnt")).cast("string"), 8, "0"),
+            F.when(
+                F.col("cnt") < 1000000000000,
+                F.lpad((F.lit(999999999999) - F.col("cnt")).cast("string"), 12, "0"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("agg_mode_exact: cnt exceeds key domain: "),
+                        F.col("cnt").cast("string"),
+                    )
+                )
+            ),
             F.col("event_type"),
         ).alias("k"),
     )

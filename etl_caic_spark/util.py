@@ -9,8 +9,15 @@ import shutil
 import tempfile
 import warnings
 
-from py4j.protocol import Py4JError
 from pyspark.sql import DataFrame
+
+try:  # py4j is absent on Spark Connect slim clients — the very builds
+    # strip_plan_stats must degrade gracefully on (r11 ADVICE).
+    from py4j.protocol import Py4JError
+except ModuleNotFoundError:  # pragma: no cover - classic-only container
+
+    class Py4JError(Exception):
+        """Placeholder so `except (..., Py4JError)` stays valid."""
 
 # Flipped (once) when strip_plan_stats hits private-API drift and has to
 # return frames unstripped — observable signal for the perf regression.

@@ -153,3 +153,15 @@ def test_kth_smallest_multi_rejects_bad_k(spark):
         kth_smallest_multi(df, "x", lambda n: [0])
     with _pytest.raises(ValueError):
         kth_smallest_multi(df, "x", lambda n: [n + 1])
+
+
+def test_kth_smallest_multi_degenerate_inputs(spark):
+    """r11 ADVICE: empty ks must early-return (n, []) BEFORE touching
+    the bounds row — on an empty frame lo/hi are None, and with no ks
+    the scan legs would build malformed CASE/filter expressions."""
+    from etl_caic_spark.operators.selection import kth_smallest_multi
+
+    empty = spark.createDataFrame([], "x long")
+    assert kth_smallest_multi(empty, "x", lambda n: []) == (0, [])
+    ten = spark.range(10).selectExpr("id AS x")
+    assert kth_smallest_multi(ten, "x", lambda n: []) == (10, [])
