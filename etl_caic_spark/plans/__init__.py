@@ -127,6 +127,7 @@ from etl_caic_spark.plans import wave14d  # noqa: F401,E402
 from etl_caic_spark.plans import wave14e  # noqa: F401,E402
 from etl_caic_spark.plans import wave14f  # noqa: F401,E402
 from etl_caic_spark.plans import wave15a  # noqa: F401,E402
+from etl_caic_spark.plans import wave16a  # noqa: F401,E402
 
 # Round-12 ENDGAME rotation (r11 verdict ask #1): the window IS the
 # entire remaining never-driver-verified pool — 45 r10-era leftovers +
@@ -142,7 +143,7 @@ from etl_caic_spark.plans import wave15a  # noqa: F401,E402
 # so the never-verified pool never regrows past one round.
 # r13 window head (wave16, pre-verified hash-green in SCALE.md r12):
 #   eval_wer_corpus eval_cer_corpus data_pack_bestfit
-#   stat_page_hinkley text_minhash_containment_eval agg_heavy_hitters_exact
+#   stat_page_hinkley stat_mann_kendall agg_heavy_hitters_exact
 _DRIVER_WINDOW = [
     # fn - relational singles (10)
     "fn_date2",
