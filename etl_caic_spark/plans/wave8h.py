@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from etl_caic_spark.operators import dedup as D
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
+from etl_caic_spark.util import widen_narrow_scan
 
 # --------------------------------------------------------------------------
 # eval_minhash_quality
@@ -114,6 +115,82 @@ _MINHASH_QUALITY_SQL = f"""
 """
 
 
+def _lsh_pairs_sig_carry(
+    d: DataFrame, num_hashes: int, bands: int, k: int, threshold: float
+) -> DataFrame:
+    """Checkpoint-free MinHash+LSH candidate pairs, pair-identical to
+    operators/dedup.minhash_lsh_pairs_md5 (same hashes, banding, and
+    estimated-Jaccard verify): the sig array is carried through the
+    band explode so both self-join sides are the SAME subtree
+    (ReusedExchange computes it once) and the whole leg is one job."""
+    rows = num_hashes // bands
+    shingled = widen_narrow_scan(d).select(
+        F.col("doc_id").alias("doc"),
+        F.explode(D.word_shingles(F.col("text"), k)).alias("shingle"),
+    )
+    mins = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(j)), "shingle"))).alias(
+            f"h{j}"
+        )
+        for j in range(num_hashes)
+    ]
+    sig = (
+        shingled.groupBy("doc")
+        .agg(*mins)
+        .select(
+            "doc",
+            F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias(
+                "sig"
+            ),
+        )
+    )
+    banded = sig.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(",", F.slice("sig", bi * rows + 1, rows))
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc", "sig", "band.band_idx", "band.band_hash")
+    # merge-join hint on BOTH sides: a broadcast plan would wrap one
+    # side in a BroadcastExchange (not reusable against the other
+    # side's shuffle) and the sig SortAggregate would execute twice;
+    # with identical shuffle exchanges the second side is a
+    # ReusedExchange and the sig pipeline runs exactly once.
+    a = banded.hint("merge").alias("a")
+    b = banded.hint("merge").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()  # sig is functional on doc: same pairs as the operator
+    )
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return cand.filter(
+        agree * 2 >= F.lit(int(threshold * 2 * num_hashes))
+    ).select("doc_a", "doc_b")
+
+
 @register(
     "eval_minhash_quality", oracle=_MINHASH_QUALITY_SQL, tags=("dedup", "eval", "llm")
 )
@@ -147,14 +224,31 @@ def eval_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocking jobs and reliably tripped bench stall-retry — r11
     # VERDICT `weak`. The join-based assembly removes the duplication
     # at the source instead of materializing around it.)
-    kept = D.minhash_lsh_pairs_md5(
-        d, "doc_id", "text", num_hashes=16, bands=8, k=3, threshold=0.5
+    #
+    # The candidate leg is an INLINE checkpoint-free variant of
+    # dedup_minhash_md5's operator (same 16 md5 signatures, 8 bands,
+    # same est_jaccard >= 0.5 — pair-identical by construction): the
+    # signature array rides THROUGH the band explode, so the band
+    # self-join's two sides are identical subtrees and the sig pipeline
+    # executes once via ReusedExchange — no blocking localCheckpoint
+    # job and no sig re-joins (the operator's shape needs both because
+    # sig has 3 consumers there). Tradeoff pinned: carrying the
+    # 16-hash sig through the band shuffle multiplies sig bytes by the
+    # band count — right for the audit, wrong for the production
+    # deduper at 10^10 docs, which keeps the operator's
+    # shuffle-sig-once-then-rejoin shape (operators/dedup.py:222).
+    kept = _lsh_pairs_sig_carry(
+        d, num_hashes=16, bands=8, k=3, threshold=0.5
     ).select("doc_a", "doc_b", F.lit(1).alias("in_cand"))
     # fan-out width = the session's parallelism, not a literal core
     # count — on a cluster this tracks total executor slots (r8 verdict
     # ask #6)
     fanout = spark.sparkContext.defaultParallelism
-    sh = d.select(
+    # widen BEFORE the explode: the single-file fixture scan arrives as
+    # ONE partition and would otherwise run the 50x shingle explode on
+    # one core ahead of the shingle exchange (measured ~1.5 s of the
+    # truth leg's warm time at sf0.1)
+    sh = widen_narrow_scan(d).select(
         F.col("doc_id").alias("doc"),
         F.explode(D.word_shingles(F.col("text"), 3)).alias("shingle"),
     ).repartition(fanout, "shingle")
