@@ -129,6 +129,7 @@ from etl_caic_spark.plans import wave14f  # noqa: F401,E402
 from etl_caic_spark.plans import wave15a  # noqa: F401,E402
 from etl_caic_spark.plans import wave16a  # noqa: F401,E402
 from etl_caic_spark.plans import wave17a  # noqa: F401,E402
+from etl_caic_spark.plans import wave17b  # noqa: F401,E402
 
 # Round-12 ENDGAME rotation (r11 verdict ask #1): the window IS the
 # entire remaining never-driver-verified pool — 45 r10-era leftovers +
@@ -142,12 +143,14 @@ from etl_caic_spark.plans import wave17a  # noqa: F401,E402
 # this window — pre-verify them via filtered driver_sim, record the
 # green runs in SCALE.md round 12, and pin them as the r13 window head
 # so the never-verified pool never regrows past one round.
-# r13 window head (wave16 + wave17a, all pre-verified hash-green via
-# filtered driver_sim — green runs recorded in SCALE.md round 12):
+# r13 window head (wave16 + wave17a + wave17b, all pre-verified
+# hash-green via filtered driver_sim — green runs in SCALE.md r12):
 #   eval_wer_corpus eval_cer_corpus data_pack_bestfit
 #   stat_page_hinkley stat_mann_kendall agg_heavy_hitters_exact
 #   eval_span_f1 eval_distinct_ngrams stat_mcnemar stat_runs_test
 #   ts_sax_symbolize priv_dp_quantile
+#   eval_kn_perplexity data_stratified_split priv_uniqueness_risk
+#   dq_column_profile sample_bernoulli_hash text_burstiness
 _DRIVER_WINDOW = [
     # fn - relational singles (10)
     "fn_date2",

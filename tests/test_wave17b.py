@@ -1,0 +1,252 @@
+"""Independent differentials for the round-12 wave17b queries: pure-
+Python third implementations recompute each metric from the raw
+fixture, plus structural invariants (KN beats add-one perplexity on
+the same split, stratum proportions exact to one doc, risk buckets
+partition the records, Bernoulli rate near 1/8, VMR >= the
+all-same-count floor)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+from etl_caic_spark.plans.wave17b import _TOP_TERMS
+from etl_caic_spark.registry import all_specs
+from etl_caic_spark.sources import load_table
+
+SPECS = all_specs()
+
+
+def _half_up_micro(num: int, den: int) -> int:
+    return (2 * num * 1000000 + den) // (2 * den)
+
+
+def test_kn_perplexity_matches_python_reference(spark, sf_dir):
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    train_bg: Counter = Counter()
+    test_bigrams = []
+    n_test_docs = set()
+    for r in docs:
+        toks = r["text"].split(" ")
+        h = hashlib.md5(f"ppl-v1|{r['doc_id']}".encode()).hexdigest()
+        if h[0] in ("0", "1"):
+            if len(toks) >= 2:
+                n_test_docs.add(r["doc_id"])
+                test_bigrams += [
+                    (r["doc_id"], a, b) for a, b in zip(toks, toks[1:])
+                ]
+        else:
+            train_bg.update(zip(toks, toks[1:]))
+    c1: Counter = Counter()
+    n1: Counter = Counter()
+    ncont: Counter = Counter()
+    for (w1, w2), c in train_bg.items():
+        c1[w1] += c
+        n1[w1] += 1
+        ncont[w2] += 1
+    t = len(train_bg)
+    total = 0
+    for _, w1, w2 in test_bigrams:
+        if w1 not in c1:
+            num = max(4 * ncont.get(w2, 0), 1)
+            den = 4.0 * 1 * t
+        else:
+            num = max(
+                max(4 * train_bg.get((w1, w2), 0) - 3, 0) * t
+                + 3 * n1[w1] * ncont.get(w2, 0),
+                1,
+            )
+            den = 4.0 * c1[w1] * t
+        total += int(round(round(math.log(num / den), 6) * 1e6))
+    got = SPECS["eval_kn_perplexity"].fn(spark, sf_dir).collect()[0]
+    assert got["n_test_docs"] == len(n_test_docs)
+    assert got["n_test_bigrams"] == len(test_bigrams)
+    assert got["logprob_micro"] == total
+    assert got["ppl_micronat_per_token"] == int(
+        round(-total * 1.0 / len(test_bigrams))
+    )
+    # structural: KN beats add-one on the SAME split (lower micronats)
+    addone = SPECS["eval_perplexity_heldout"].fn(spark, sf_dir).collect()[0]
+    assert (
+        got["ppl_micronat_per_token"] < addone["ppl_micronat_per_token"]
+    ), "Kneser-Ney should out-model add-one smoothing"
+
+
+def test_stratified_split_matches_python_reference(spark, sf_dir):
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "lang", "doc_id", "text")
+        .collect()
+    )
+    strata = defaultdict(list)
+    for r in docs:
+        h = hashlib.md5(f"split-v1|{r['doc_id']}".encode()).hexdigest()
+        strata[(r["source"], r["lang"])].append(
+            (h, r["doc_id"], len(r["text"].split(" ")))
+        )
+    want = defaultdict(lambda: [0, 0])
+    for key, items in strata.items():
+        items.sort()
+        n = len(items)
+        for i, (_, _, ntok) in enumerate(items, 1):
+            split = (
+                "train" if 10 * i <= 8 * n else "val" if 10 * i <= 9 * n
+                else "test"
+            )
+            w = want[key + (split,)]
+            w[0] += 1
+            w[1] += ntok
+    got = {
+        (r["source"], r["lang"], r["split"]): r
+        for r in SPECS["data_stratified_split"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k, (nd, nt) in want.items():
+        assert (got[k]["n_docs"], got[k]["n_tokens"]) == (nd, nt)
+    # structural: per-stratum proportions exact to one doc
+    for key, items in strata.items():
+        n = len(items)
+        tr = want.get(key + ("train",), [0])[0]
+        assert tr == (8 * n) // 10
+
+
+def test_uniqueness_risk_matches_python_reference(spark, sf_dir):
+    rows = load_table(spark, sf_dir, "customer").collect()
+    classes: Counter = Counter()
+    for r in rows:
+        cents = int(
+            Decimal(str(r["c_acctbal"] * 100)).quantize(
+                Decimal(1), ROUND_HALF_UP
+            )
+        )
+        # python // floors toward -inf; engine div truncates toward 0 —
+        # mirror the engine on negative balances
+        band = int(cents / 100000) if cents < 0 else cents // 100000
+        classes[(r["c_nationkey"], r["c_mktsegment"], band)] += 1
+    buckets = defaultdict(lambda: [0, 0])
+    for k in classes.values():
+        b = (
+            "1_unique" if k == 1 else "2_k2_5" if k <= 5
+            else "3_k6_10" if k <= 10 else "4_k11_plus"
+        )
+        buckets[b][0] += 1
+        buckets[b][1] += k
+    n = sum(classes.values())
+    got = {
+        r["k_bucket"]: r
+        for r in SPECS["priv_uniqueness_risk"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(buckets)
+    assert sum(r["n_records"] for r in got.values()) == len(rows)
+    for b, (nc, nr) in buckets.items():
+        assert (got[b]["n_classes"], got[b]["n_records"]) == (nc, nr)
+        assert got[b]["record_share_micro"] == _half_up_micro(nr, n)
+
+
+def test_column_profile_matches_python_reference(spark, sf_dir):
+    rows = load_table(spark, sf_dir, "orders").collect()
+    cols = defaultdict(list)
+    for r in rows:
+        cols["o_orderkey"].append(str(r["o_orderkey"]))
+        cols["o_custkey"].append(str(r["o_custkey"]))
+        cols["o_orderstatus"].append(r["o_orderstatus"])
+        cols["o_orderpriority"].append(r["o_orderpriority"])
+        cols["o_orderdate"].append(str(r["o_orderdate"].date()))
+        cents = int(
+            Decimal(str(r["o_totalprice"] * 100)).quantize(
+                Decimal(1), ROUND_HALF_UP
+            )
+        )
+        cols["o_totalprice_cents"].append(str(cents))
+    got = {
+        r["col"]: r
+        for r in SPECS["dq_column_profile"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(cols)
+    for c, vals in cols.items():
+        nn = [v for v in vals if v is not None]
+        g = got[c]
+        assert g["n_rows"] == len(vals)
+        assert g["n_nulls"] == len(vals) - len(nn)
+        assert g["n_distinct"] == len(set(nn))
+        assert g["min_str"] == min(nn)
+        assert g["max_str"] == max(nn)
+
+
+def test_bernoulli_hash_matches_python_reference(spark, sf_dir):
+    rows = load_table(spark, sf_dir, "orders").collect()
+    agg = defaultdict(lambda: [0, 0, 0])  # n, kept, kept_cents
+    for r in rows:
+        keep = hashlib.md5(
+            f"bern-v1|{r['o_orderkey']}".encode()
+        ).hexdigest()[0] in ("0", "1")
+        cents = int(
+            Decimal(str(r["o_totalprice"] * 100)).quantize(
+                Decimal(1), ROUND_HALF_UP
+            )
+        )
+        a = agg[r["o_orderpriority"]]
+        a[0] += 1
+        if keep:
+            a[1] += 1
+            a[2] += cents
+    got = {
+        r["o_orderpriority"]: r
+        for r in SPECS["sample_bernoulli_hash"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(agg)
+    for p, (n, k, kc) in agg.items():
+        g = got[p]
+        assert (g["n_total"], g["n_sampled"]) == (n, k)
+        assert g["rate_micro"] == _half_up_micro(k, n)
+        assert g["est_total_cents"] == kc * 8
+        # structural: realized rate within 4 sigma of 1/8
+        sigma = math.sqrt(n * 0.125 * 0.875)
+        assert abs(k - n * 0.125) < 4 * sigma + 1
+
+
+def test_burstiness_matches_python_reference(spark, sf_dir):
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "doc_id", "text")
+        .collect()
+    )
+    ndocs: Counter = Counter()
+    percount = defaultdict(Counter)  # (source, tok) -> doc -> c
+    for r in docs:
+        ndocs[r["source"]] += 1
+        for t in r["text"].split(" "):
+            if t:
+                percount[(r["source"], t)][r["doc_id"]] += 1
+    bysrc = defaultdict(list)
+    for (src, tok), dc in percount.items():
+        total = sum(dc.values())
+        sumsq = sum(c * c for c in dc.values())
+        bysrc[src].append((tok, total, sumsq))
+    want = {}
+    for src, terms in bysrc.items():
+        terms.sort(key=lambda x: (-x[1], x[0]))
+        for tok, total, sumsq in terms[:_TOP_TERMS]:
+            n = ndocs[src]
+            want[(src, tok)] = (
+                total,
+                _half_up_micro(n * sumsq - total * total, n * total),
+            )
+    got = {
+        (r["source"], r["tok"]): r
+        for r in SPECS["text_burstiness"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k, (total, vmr) in want.items():
+        assert got[k]["total"] == total
+        assert got[k]["vmr_micro"] == vmr
+        # structural: with every doc containing the term once, VMR -> 0;
+        # counts are non-negative so the micro VMR is bounded below by
+        # the all-same-count floor (>= 0 when any doc lacks the term)
+        assert got[k]["vmr_micro"] >= -1000000
