@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
+from etl_caic_spark.util import widen_narrow_scan
 
 
 @register(
@@ -267,9 +268,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (Spark sequences count down when end < start); DuckDB's
     # generate_series is simply empty there, so filter short docs out
     # explicitly to keep both sides identical.
-    words = d.select("doc_id", F.split("text", " ").alias("ws")).filter(
-        F.size("ws") >= 3
-    )
+    # widen: single-file scan -> one partition; the shingle explode +
+    # distinct map side would otherwise run single-task
+    words = widen_narrow_scan(d).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).filter(F.size("ws") >= 3)
     sh0 = words.select(
         "doc_id",
         F.explode(

@@ -64,6 +64,7 @@ from pyspark.sql import functions as F
 
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
+from etl_caic_spark.util import widen_narrow_scan
 
 _PQ_M = 8  # subspaces
 _PQ_SUBDIM = 8  # dims per subspace (64-dim embeddings)
@@ -172,6 +173,12 @@ def pq_shortlist_frames(
     # the exact rerank) — without it each re-runs scan+posexplode; the
     # materialized frame is |vectors| x dims x 4 columns, the same
     # bounded-intermediate class as the curation pipeline's checkpoints
+    # NOT widened (measured, r12): unlike the md5-heavy shingle
+    # explodes, this pipeline's per-stage compute is light and its cost
+    # is ~15 sequential mini-stages — widening the scan to 32 tasks per
+    # stage ADDED ~0.7 s of task/AQE overhead (bench 4.4 -> 5.1) with
+    # no compute to amortize it. At real scale the scan arrives wide on
+    # its own and widen_narrow_scan is the no-op branch either way.
     sub = (
         emb.select("vec_id", F.posexplode("embedding").alias("d", "xf"))
         .select(
@@ -247,20 +254,20 @@ def pq_shortlist_frames(
         .groupBy("vec_id")
         .agg(F.sum("part").cast("bigint").alias("adc_micro2"))
     )
-    # localCheckpoint the 100-row shortlist and the 64-row query slice:
-    # both have MULTIPLE cross-job consumers (sim_pq_adc's rerank;
-    # eval_pq_recall's n_shortlist AND n_hit legs, whose separate jobs
-    # would otherwise each re-run the entire two-Lloyd-round assignment
-    # pipeline — broadcast-exchange reuse never crosses job boundaries;
-    # the ml_boosted_stumps round-11 finding, applied fleet-wide to
-    # 1-row/constant-size result frames).
+    # NO checkpoint on the shortlist or the query slice (r12 rework of
+    # the r11 multi-consumer pass): both consumers were made
+    # single-subtree instead — sim_pq_adc's rerank consumes short once,
+    # and eval_pq_recall now assembles all three counts from ONE full
+    # outer join (the eval_minhash_quality single-job lesson), so the
+    # eager barriers were pure cost (~1 blocking job each on a
+    # 100-row / 64-row frame). q re-filters the CHECKPOINTED sub — a
+    # map-only rebuild, not a pipeline re-run.
     short = (
         adc.orderBy(F.asc("adc_micro2"), F.asc("vec_id"))
         .limit(_PQ_SHORTLIST)
         .coalesce(1)
-        .localCheckpoint()
     )
-    return sub, q.coalesce(1).localCheckpoint(), short
+    return sub, q.coalesce(1), short
 
 
 @register("sim_pq_adc", oracle=_PQ_SQL, tags=("similarity", "llm", "scale"))

@@ -101,25 +101,32 @@ def eval_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("exact_micro2"), F.asc("vec_id"))
         .limit(_PQ_TOPK)
     )
-    n_true = exact.agg(F.count("*").cast("bigint").alias("n_true"))
-    n_shortlist = short.agg(
-        F.count("*").cast("bigint").alias("n_shortlist")
-    )
-    n_hit = (
-        exact.join(F.broadcast(short.select("vec_id")), "vec_id")
-        .agg(F.count("*").cast("bigint").alias("n_hit"))
-    )
-    return (
-        n_true.crossJoin(F.broadcast(n_shortlist))
-        .crossJoin(F.broadcast(n_hit))
-        .select(
-            "n_true",
-            "n_shortlist",
-            "n_hit",
-            F.round(F.col("n_hit") * 1000000.0 / F.col("n_true"))
-            .cast("bigint")
-            .alias("recall_micro"),
+    # single-job assembly (r12, the eval_minhash_quality lesson): all
+    # three counts from ONE full outer join of the 10-row exact top-k
+    # and the 100-row shortlist, so `exact` and `short` each feed
+    # exactly one plan subtree and execute exactly once — no
+    # checkpoints, no count-leg re-runs of the distance aggregate.
+    e = exact.select("vec_id", F.lit(1).alias("in_true"))
+    s = short.select("vec_id", F.lit(1).alias("in_short"))
+    m = e.join(s, "vec_id", "full_outer").agg(
+        F.count("in_true").cast("bigint").alias("n_true"),
+        F.count("in_short").cast("bigint").alias("n_shortlist"),
+        F.count(
+            F.when(
+                F.col("in_true").isNotNull() & F.col("in_short").isNotNull(),
+                1,
+            )
         )
+        .cast("bigint")
+        .alias("n_hit"),
+    )
+    return m.select(
+        "n_true",
+        "n_shortlist",
+        "n_hit",
+        F.round(F.col("n_hit") * 1000000.0 / F.col("n_true"))
+        .cast("bigint")
+        .alias("recall_micro"),
     )
 
 

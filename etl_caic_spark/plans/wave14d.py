@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
+from etl_caic_spark.util import widen_narrow_scan
 
 _SIL_SQL = """
     WITH c AS (
@@ -110,7 +111,9 @@ def eval_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     products via zip_with/aggregate (JVM codegen, no UDF), conditional
     min/max per point, one label-grain groupBy."""
     emb = load_table(spark, sf_dir, "embeddings")
-    c = emb.select(
+    # widen: the single-file fixture scan is ONE partition; the centroid
+    # explode and the broadcast-distance map would otherwise run 1-task
+    c = widen_narrow_scan(emb).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
     per_dim = (
