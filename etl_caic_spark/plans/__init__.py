@@ -130,6 +130,7 @@ from etl_caic_spark.plans import wave15a  # noqa: F401,E402
 from etl_caic_spark.plans import wave16a  # noqa: F401,E402
 from etl_caic_spark.plans import wave17a  # noqa: F401,E402
 from etl_caic_spark.plans import wave17b  # noqa: F401,E402
+from etl_caic_spark.plans import wave17c  # noqa: F401,E402
 
 # Round-12 ENDGAME rotation (r11 verdict ask #1): the window IS the
 # entire remaining never-driver-verified pool — 45 r10-era leftovers +
@@ -151,6 +152,8 @@ from etl_caic_spark.plans import wave17b  # noqa: F401,E402
 #   ts_sax_symbolize priv_dp_quantile
 #   eval_kn_perplexity data_stratified_split priv_uniqueness_risk
 #   dq_column_profile sample_bernoulli_hash text_burstiness
+#   stat_g_test stat_bartlett data_oversample_minority
+#   corpus_datasheet
 _DRIVER_WINDOW = [
     # fn - relational singles (10)
     "fn_date2",
