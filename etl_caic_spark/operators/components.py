@@ -39,27 +39,37 @@ def connected_components(
     """pairs(left, right) → (member, component) where component is the
     minimum vertex id in the connected component.
 
-    Size-gated hybrid: the undirected edge set is materialized (checkpoint)
-    either way, so its count is free — when it is at most
-    ``driver_edge_cutoff`` (default 1M edges ≈ 16 MB of longs, trivially
-    driver-resident), a single-pass union-find on the driver replaces the
-    O(log diameter) join rounds, whose per-iteration fixed cost (2 joins +
-    agg + checkpoint + convergence count) dominates for the small edge sets
-    that near-dup thresholds typically produce. Above the cutoff — the
-    regime a 100 TB corpus with billions of candidate pairs lands in — the
-    distributed min-label + pointer-jumping loop below runs unchanged.
-    ``driver_edge_cutoff=0`` forces the distributed path (used by tests to
-    pin its semantics)."""
-    edges = (
+    Size-gated hybrid: when the undirected edge set has at most
+    ``driver_edge_cutoff`` rows (default 1M edges ≈ 16 MB of longs,
+    trivially driver-resident), a single-pass union-find on the driver
+    replaces the O(log diameter) join rounds, whose per-iteration fixed
+    cost (2 joins + agg + checkpoint + convergence count) dominates for
+    the small edge sets that near-dup thresholds typically produce. The
+    gate and the small-regime fetch are ONE job: ``limit(cutoff+1)
+    .collect()`` — when everything fits, the collected rows ARE the
+    input (limit under the total row count is a no-op on content), so no
+    separate checkpoint + count + collect barriers (r12: those three
+    sequential blocking jobs made corpus_curation_pipeline the most
+    host-steal-sensitive query in the fleet). Above the cutoff — the
+    regime a 100 TB corpus with billions of candidate pairs lands in —
+    the probe short-circuits at cutoff+1 rows, the edge set is
+    checkpointed once, and the distributed min-label + pointer-jumping
+    loop below runs unchanged. ``driver_edge_cutoff=0`` forces the
+    distributed path (used by tests to pin its semantics)."""
+    edges_plan = (
         pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(right_col).alias("src"), F.col(left_col).alias("dst"))
         )
         .distinct()
-        .localCheckpoint()
     )
-    if edges.count() <= driver_edge_cutoff:
-        return _driver_union_find(edges)
+    if driver_edge_cutoff > 0:
+        probe = edges_plan.limit(driver_edge_cutoff + 1).collect()
+        if len(probe) <= driver_edge_cutoff:
+            return _driver_union_find(
+                probe, pairs.sparkSession, pairs.schema[left_col].dataType
+            )
+    edges = edges_plan.localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("v"))
         .distinct()
@@ -122,8 +132,8 @@ def connected_components(
     return labels.select(F.col("v").alias("member"), "component")
 
 
-def _driver_union_find(edges: DataFrame) -> DataFrame:
-    """Min-root union-find over a bounded, already-materialized edge set.
+def _driver_union_find(rows, spark, vtype) -> DataFrame:
+    """Min-root union-find over a bounded, already-collected edge row list.
     Path-halving + union-by-min keeps the root of every tree at the
     component's minimum vertex id, matching the distributed loop's output
     exactly (same (member, component) rows, component = min id)."""
@@ -137,8 +147,7 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    rows = edges.collect()  # bounded by driver_edge_cutoff at the call site
-    for r in rows:
+    for r in rows:  # bounded by driver_edge_cutoff at the call site
         s, d = r["src"], r["dst"]
         parent.setdefault(s, s)
         parent.setdefault(d, d)
@@ -148,8 +157,6 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             lo, hi = (rs, rd) if rs < rd else (rd, rs)
             parent[hi] = lo
     out = [(v, find(v)) for v in parent]
-    spark = edges.sparkSession
-    vtype = edges.schema["src"].dataType
     schema = T.StructType(
         [
             T.StructField("member", vtype, True),

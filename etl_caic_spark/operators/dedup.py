@@ -219,32 +219,18 @@ def minhash_lsh_pairs(
     )
 
 
-def minhash_lsh_pairs_md5(
+def minhash_md5_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 16,
-    bands: int = 8,
     k: int = 3,
-    threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash + LSH with ENGINE-PORTABLE hashing: h_j(shingle) =
-    md5(j || '|' || shingle), minima taken in LEXICOGRAPHIC order over the
-    hex strings, band key = md5 of the band's concatenated minima.
-
-    md5 is standardized, so — unlike the xxhash64 fast path above, whose
-    seed mixing is Spark-specific — every step here is reproducible by any
-    engine and the whole MinHash+LSH pipeline gets a hash-matched DuckDB
-    oracle. min-of-md5 over a random permutation of shingle space is
-    exactly the MinHash estimator (P[min agrees] = Jaccard); hex-string
-    ordering is just an order-isomorphic encoding of the 128-bit value.
-
-    Scale shape is IDENTICAL to minhash_lsh_pairs: one shingle explode,
-    map-side partial minima, band-bucket equi-join — never all-pairs. The
-    md5 column hash costs ~2-3× xxhash64's JVM intrinsic, so at 100 TB
-    run the xxhash path and keep this as the cross-engine-verifiable twin
-    (same banding math, same candidate semantics)."""
-    rows = num_hashes // bands
+    """Engine-portable MinHash signatures: h_j(shingle) = md5(j || '|' ||
+    shingle), minima taken in LEXICOGRAPHIC order over the hex strings —
+    reproducible by any engine (unlike the Spark-specific xxhash64 fast
+    path). Returns (doc, sig: array<string>[num_hashes]), NOT
+    checkpointed — the caller decides materialization."""
     shingled = widen_narrow_scan(df).select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
@@ -253,18 +239,24 @@ def minhash_lsh_pairs_md5(
         F.min(F.md5(F.concat_ws("|", F.lit(str(j)), "shingle"))).alias(f"h{j}")
         for j in range(num_hashes)
     ]
-    sig = (
+    return (
         shingled.groupBy("doc")
         .agg(*mins)
         .select(
             "doc",
             F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"),
         )
-        .localCheckpoint()
     )
-    banded = sig.select(
-        "doc",
-        "sig",
+
+
+def _md5_banded(sig: DataFrame, num_hashes: int, bands: int, carry_sig: bool) -> DataFrame:
+    """Band-key explode over an md5 signature frame: band key = md5 of the
+    band's comma-joined minima. With carry_sig the signature array rides
+    along through the explode (the checkpoint-free audit shape)."""
+    rows = num_hashes // bands
+    keep = ["doc", "sig"] if carry_sig else ["doc"]
+    return sig.select(
+        *keep,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -276,36 +268,139 @@ def minhash_lsh_pairs_md5(
                 ),
             )
         ).alias("band"),
-    ).select("doc", "band.band_idx", "band.band_hash")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-    )
-    sa = sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
-    est = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "est_jaccard",
-            F.aggregate(
-                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                F.lit(0),
-                lambda acc, x: acc + x,
+    ).select(*keep, "band.band_idx", "band.band_hash")
+
+
+def minhash_md5_candidate_pairs(
+    df: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.5,
+    checkpoint_sig: bool = True,
+    sig: DataFrame | None = None,
+) -> DataFrame:
+    """THE shared shingle → md5 signature → banded-candidates builder
+    (r12 ADVICE: previously duplicated between minhash_lsh_pairs_md5 and
+    eval_minhash_quality's inline sig-carry variant, so a change to
+    hashing or banding could silently desynchronize the audit from the
+    operator it audits — now both are thin wrappers over this one
+    function, and the estimated-Jaccard verify is the SAME float compare
+    agree/num_hashes >= threshold in both shapes).
+
+    Returns (doc_a, doc_b, est_jaccard) — candidates sharing at least
+    one (band_idx, band_hash) bucket, verified by estimated Jaccard.
+
+    Two plan shapes, same pair set:
+
+    - checkpoint_sig=True (the production deduper): signatures are
+      materialized once (localCheckpoint), the band self-join carries
+      only (doc, band), and est_jaccard re-joins the sig frame — right
+      at 10^10 docs where carrying the full sig through the band
+      shuffle would multiply sig bytes by the band count.
+    - checkpoint_sig=False (the single-job audit shape): the sig array
+      rides THROUGH the band explode so both self-join sides are the
+      SAME subtree (merge hints force identical shuffle exchanges →
+      ReusedExchange computes the sig pipeline once) and the whole leg
+      is one job with no blocking checkpoint.
+
+    ``sig`` lets a caller that sweeps several band configs reuse ONE
+    signature frame (pass it pre-checkpointed; `df` may be None then)."""
+    if sig is None:
+        sig = minhash_md5_signatures(df, id_col, text_col, num_hashes, k)
+        if checkpoint_sig:
+            sig = sig.localCheckpoint()
+    if checkpoint_sig:
+        banded = _md5_banded(sig, num_hashes, bands, carry_sig=False)
+        a = banded.alias("a")
+        b = banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc") < F.col("b.doc")),
             )
-            / F.lit(num_hashes),
+            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .distinct()
         )
+        sa = sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+        sb = sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+        est = cand.join(sa, "doc_a").join(sb, "doc_b")
+    else:
+        banded = _md5_banded(sig, num_hashes, bands, carry_sig=True)
+        # merge-join hint on BOTH sides: a broadcast plan would wrap one
+        # side in a BroadcastExchange (not reusable against the other
+        # side's shuffle) and the sig aggregate would execute twice;
+        # with identical shuffle exchanges the second side is a
+        # ReusedExchange and the sig pipeline runs exactly once.
+        a = banded.hint("merge").alias("a")
+        b = banded.hint("merge").alias("b")
+        est = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(
+                F.col("a.doc").alias("doc_a"),
+                F.col("b.doc").alias("doc_b"),
+                F.col("a.sig").alias("sig_a"),
+                F.col("b.sig").alias("sig_b"),
+            )
+            .distinct()  # sig is functional on doc: same pairs either shape
+        )
+    est = est.withColumn(
+        "est_jaccard",
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(num_hashes),
     )
     return est.filter(F.col("est_jaccard") >= threshold).select(
         "doc_a", "doc_b", "est_jaccard"
+    )
+
+
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH with ENGINE-PORTABLE hashing — a thin wrapper over
+    minhash_md5_candidate_pairs (checkpoint_sig=True, the production
+    shape; see its docstring for both shapes and the sharing contract).
+
+    md5 is standardized, so — unlike the xxhash64 fast path above, whose
+    seed mixing is Spark-specific — every step is reproducible by any
+    engine and the whole MinHash+LSH pipeline gets a hash-matched DuckDB
+    oracle. min-of-md5 over a random permutation of shingle space is
+    exactly the MinHash estimator (P[min agrees] = Jaccard); hex-string
+    ordering is just an order-isomorphic encoding of the 128-bit value.
+
+    Scale shape is IDENTICAL to minhash_lsh_pairs: one shingle explode,
+    map-side partial minima, band-bucket equi-join — never all-pairs. The
+    md5 column hash costs ~2-3× xxhash64's JVM intrinsic, so at 100 TB
+    run the xxhash path and keep this as the cross-engine-verifiable twin
+    (same banding math, same candidate semantics)."""
+    return minhash_md5_candidate_pairs(
+        df,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        k=k,
+        threshold=threshold,
+        checkpoint_sig=True,
     )
 
 

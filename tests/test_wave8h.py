@@ -72,3 +72,25 @@ def test_token_budget_prefix_properties(spark, sf_dir):
         # cum_before < 1000 of the last kept doc; weak-form check:
         if r["n_docs_kept"] < r["n_docs_total"]:
             assert r["tokens_kept"] >= 1000
+
+
+def test_lsh_builder_shapes_pair_identical(spark, sf_dir):
+    """The two plan shapes of minhash_md5_candidate_pairs (production
+    checkpoint-sig vs single-job sig-carry) must produce the SAME pair
+    set — the r12 ADVICE desynchronization guard, now asserted directly
+    on top of the shared-code refactor."""
+    from etl_caic_spark.operators import dedup as D
+    from etl_caic_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    kw = dict(num_hashes=16, bands=8, k=3, threshold=0.5)
+    prod = D.minhash_md5_candidate_pairs(
+        d, "doc_id", "text", checkpoint_sig=True, **kw
+    )
+    audit = D.minhash_md5_candidate_pairs(
+        d, "doc_id", "text", checkpoint_sig=False, **kw
+    )
+    p = {(r["doc_a"], r["doc_b"], r["est_jaccard"]) for r in prod.collect()}
+    a = {(r["doc_a"], r["doc_b"], r["est_jaccard"]) for r in audit.collect()}
+    assert p == a
+    assert p  # fixture has planted near-dups: non-vacuous
