@@ -131,6 +131,7 @@ from etl_caic_spark.plans import wave16a  # noqa: F401,E402
 from etl_caic_spark.plans import wave17a  # noqa: F401,E402
 from etl_caic_spark.plans import wave17b  # noqa: F401,E402
 from etl_caic_spark.plans import wave17c  # noqa: F401,E402
+from etl_caic_spark.plans import wave18a  # noqa: F401,E402
 
 # Round-13 rotation (r12 verdict ask #1): the window head is the 22
 # round-12 additions (wave16 + wave17a/b/c) that have no driver

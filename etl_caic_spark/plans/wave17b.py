@@ -82,10 +82,12 @@ _KN_SQL = """
       SELECT s.doc_id,
              CAST(round(round(ln(
                CASE WHEN x.c1 IS NULL
-                    THEN greatest(4 * coalesce(c.ncont, 0), 1)
+                    THEN CAST(greatest(4 * coalesce(c.ncont, 0), 1) AS HUGEINT)
                     ELSE greatest(
-                      greatest(4 * coalesce(b.cb, 0) - 3, 0) * tt.t
-                      + 3 * x.n1 * coalesce(c.ncont, 0), 1) END
+                      CAST(greatest(4 * coalesce(b.cb, 0) - 3, 0) AS HUGEINT)
+                        * tt.t
+                      + 3 * CAST(x.n1 AS HUGEINT) * coalesce(c.ncont, 0), 1)
+                    END
                / (4.0 * coalesce(x.c1, 1) * tt.t)), 6) * 1e6)
                AS BIGINT) AS lp_micro
       FROM test_bg s
@@ -161,16 +163,28 @@ def eval_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
     )
     # unseen context (c1 null): pure continuation term ncont/T (num
-    # 4*ncont over den 4*1*T); the OOV floor of 1 keeps the log finite
+    # 4*ncont over den 4*1*T); the OOV floor of 1 keeps the log finite.
+    # The seen-context numerator multiplies counts by the bigram-TYPE
+    # count T, which exceeds int64 at web-corpus scale (~1e10 types x
+    # 4e10 counts) — the operands widen to decimal(38,0) BEFORE the
+    # double division (r12 ADVICE; the stat_bartlett discipline), with
+    # HUGEINT on the oracle side. Fixture values are identical: every
+    # operand is exactly representable either way.
     num = F.when(
         F.col("c1").isNull(),
-        F.greatest(4 * F.coalesce("ncont", F.lit(0)), F.lit(1)),
+        F.greatest(4 * F.coalesce("ncont", F.lit(0)), F.lit(1)).cast(
+            "decimal(38,0)"
+        ),
     ).otherwise(
         F.greatest(
-            F.greatest(4 * F.coalesce("cb", F.lit(0)) - 3, F.lit(0))
+            F.greatest(4 * F.coalesce("cb", F.lit(0)) - 3, F.lit(0)).cast(
+                "decimal(38,0)"
+            )
             * F.col("t")
-            + 3 * F.col("n1") * F.coalesce("ncont", F.lit(0)),
-            F.lit(1),
+            + F.lit(3).cast("decimal(38,0)")
+            * F.col("n1")
+            * F.coalesce("ncont", F.lit(0)),
+            F.lit(1).cast("decimal(38,0)"),
         )
     )
     den = 4.0 * F.coalesce("c1", F.lit(1)) * F.col("t")
@@ -181,7 +195,7 @@ def eval_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tt))
         .select(
             "doc_id",
-            F.round(F.round(F.log(num / den), 6) * 1e6)
+            F.round(F.round(F.log(num.cast("double") / den), 6) * 1e6)
             .cast("bigint")
             .alias("lp_micro"),
         )

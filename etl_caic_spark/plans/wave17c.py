@@ -49,14 +49,15 @@ _G_SQL = """
     terms AS (
       SELECT cell.o,
              CAST(round(round(ln(
-               (cell.o * n_.n) / (1.0 * rows_.ro * cols_.co)), 6) * 1e6)
-               AS BIGINT) AS ln_micro
+               CAST(CAST(cell.o AS HUGEINT) * n_.n AS DOUBLE)
+               / CAST(CAST(rows_.ro AS HUGEINT) * cols_.co AS DOUBLE)), 6)
+               * 1e6) AS BIGINT) AS ln_micro
       FROM cell JOIN rows_ USING (r) JOIN cols_ USING (c) CROSS JOIN n_
     )
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM rows_) AS n_rows,
            (SELECT CAST(count(*) AS BIGINT) FROM cols_) AS n_cols,
            (SELECT n FROM n_) AS n,
-           CAST(sum(2 * o * ln_micro) AS BIGINT) AS g_micro
+           CAST(sum(2 * CAST(o AS HUGEINT) * ln_micro) AS BIGINT) AS g_micro
     FROM terms
 """
 
@@ -70,7 +71,13 @@ def stat_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     point of publishing both). Each cell's ln(O*n/(row*col)) is a
     frozen micro-nat log of a ratio of integers; G_micro =
     sum(2*O*ln_micro) is then an EXACT integer sum — no float
-    accumulation anywhere.
+    accumulation anywhere. The ratio operands O*n and row*col are
+    formed in decimal(38,0)/HUGEINT BEFORE the double conversion (r12
+    ADVICE: at n ~ 1.5e11 the bigint products exceed int64, where
+    non-ANSI Spark wraps silently while DuckDB raises — the
+    stat_bartlett sumsq discipline), and the term sum accumulates in
+    the same wide type; only the published g_micro column is bigint
+    (safe for any physically plausible table: G <= 2*n*ln(n)).
 
     Plan: one fact groupBy to the k*m cell grain, two bounded
     re-groupings for margins, broadcast n, one reduce. At 100 TB only
@@ -94,8 +101,10 @@ def stat_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.round(
                     F.log(
-                        (F.col("o") * F.col("n"))
-                        / (1.0 * F.col("ro") * F.col("co"))
+                        (F.col("o").cast("decimal(38,0)") * F.col("n"))
+                        .cast("double")
+                        / (F.col("ro").cast("decimal(38,0)") * F.col("co"))
+                        .cast("double")
                     ),
                     6,
                 )
@@ -107,7 +116,11 @@ def stat_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     g = terms.groupBy("n").agg(
-        F.sum(2 * F.col("o") * F.col("ln_micro"))
+        F.sum(
+            F.lit(2).cast("decimal(38,0)")
+            * F.col("o")
+            * F.col("ln_micro")
+        )
         .cast("bigint")
         .alias("g_micro")
     )

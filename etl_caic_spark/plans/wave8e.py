@@ -84,23 +84,15 @@ def _bpe_oracle() -> str:
     return head + ctes + "\n    " + sel
 
 
-@register("bpe_learn_merges", oracle=_bpe_oracle(), tags=("llm", "text", "iterative"))
-def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the first 3 BPE merges from the corpus: whitespace words ->
-    top-{_BPE_VOCAB} vocabulary by frequency -> chars spaced out as
-    symbol strings -> per round, the frequency-weighted adjacent-pair
-    counts pick one global winner (wt desc, pair asc) and a double
-    string-replace applies it to every vocabulary word. The winner
-    selection and the replace are both exact; see the module docstring
-    for the frozen overlap semantics.
-
-    Plan shape: ONE corpus scan (word-count groupBy, partial agg) into a
-    TakeOrderedAndProject top-{_BPE_VOCAB}, localCheckpoint-ed — every
-    later frame is vocabulary-sized (200 rows), so the 3 rounds' pair
-    counts, 1-row tops and replace projections are driver-trivial at any
-    corpus scale; this is precisely why production BPE learners operate
-    on the aggregated vocabulary, not the raw corpus. At 100 TB the only
-    heavy stage remains the initial word count."""
+def learned_merge_tops(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """The merge-learning sub-plan shared by bpe_learn_merges and
+    text_bpe_encode (wave18a): top-{_BPE_VOCAB} vocabulary by frequency
+    (ONE corpus scan, then localCheckpoint — every later frame is
+    vocabulary-sized), then per round the frequency-weighted
+    adjacent-pair counts pick one global winner (wt desc, pair asc) and
+    a double string-replace applies it vocabulary-wide. Returns the
+    {_BPE_ROUNDS} one-row winner frames [(l, r, wt)], round i's winner
+    learned on the vocabulary AFTER merges 1..i-1 were applied."""
     d = load_table(spark, sf_dir, "documents")
     wf = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -117,9 +109,9 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # corpus scanned once; rounds recompute 200-row frames
     )
-    merges = []
+    tops = []
     cur = vocab
-    for i in range(1, _BPE_ROUNDS + 1):
+    for _ in range(_BPE_ROUNDS):
         toks = cur.select("f", F.split(F.trim(F.col("sym")), " ").alias("ws"))
         pairs = (
             toks.filter(F.size("ws") >= 2)
@@ -140,20 +132,58 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("wt"), F.asc("l"), F.asc("r"))
             .limit(1)
         )
-        merges.append(
-            top.select(
-                F.lit(i).cast("bigint").alias("round"),
-                F.col("l").alias("left_sym"),
-                F.col("r").alias("right_sym"),
-                F.concat("l", "r").alias("merged"),
-                "wt",
-            )
-        )
+        tops.append(top)
         pat = F.concat(F.lit(" "), F.col("l"), F.lit(" "), F.col("r"), F.lit(" "))
         rep = F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit(" "))
         cur = cur.crossJoin(F.broadcast(top)).select(
             "f", F.replace(F.replace("sym", pat, rep), pat, rep).alias("sym")
         )
+    return tops
+
+
+def apply_merges(sym_col, tops_aliased: list[str]):
+    """The frozen merge-application expression: for each learned merge
+    (joined in as `<alias>.l` / `<alias>.r`), the double non-overlapping
+    replace of ' l r ' -> ' lr ' over a spaced symbol string — identical
+    semantics on both engines (module docstring)."""
+    out = sym_col
+    for a in tops_aliased:
+        pat = F.concat(
+            F.lit(" "), F.col(f"{a}.l"), F.lit(" "), F.col(f"{a}.r"), F.lit(" ")
+        )
+        rep = F.concat(F.lit(" "), F.col(f"{a}.l"), F.col(f"{a}.r"), F.lit(" "))
+        out = F.replace(F.replace(out, pat, rep), pat, rep)
+    return out
+
+
+@register("bpe_learn_merges", oracle=_bpe_oracle(), tags=("llm", "text", "iterative"))
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 3 BPE merges from the corpus: whitespace words ->
+    top-{_BPE_VOCAB} vocabulary by frequency -> chars spaced out as
+    symbol strings -> per round, the frequency-weighted adjacent-pair
+    counts pick one global winner (wt desc, pair asc) and a double
+    string-replace applies it to every vocabulary word. The winner
+    selection and the replace are both exact; see the module docstring
+    for the frozen overlap semantics.
+
+    Plan shape: ONE corpus scan (word-count groupBy, partial agg) into a
+    TakeOrderedAndProject top-{_BPE_VOCAB}, localCheckpoint-ed — every
+    later frame is vocabulary-sized (200 rows), so the 3 rounds' pair
+    counts, 1-row tops and replace projections are driver-trivial at any
+    corpus scale; this is precisely why production BPE learners operate
+    on the aggregated vocabulary, not the raw corpus. At 100 TB the only
+    heavy stage remains the initial word count. (Learning lives in
+    learned_merge_tops, shared with wave18a's text_bpe_encode.)"""
+    merges = [
+        top.select(
+            F.lit(i).cast("bigint").alias("round"),
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            F.concat("l", "r").alias("merged"),
+            "wt",
+        )
+        for i, top in enumerate(learned_merge_tops(spark, sf_dir), start=1)
+    ]
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)

@@ -105,8 +105,11 @@ def test_distinct_ngrams_match_python_reference(spark, sf_dir):
         assert (g["n_bigrams"], g["d_bigrams"]) == (nb, db)
         assert g["distinct1_micro"] == _half_up_micro(du, nu)
         assert g["distinct2_micro"] == _half_up_micro(db, nb)
-        # structural: bigrams are more diverse than unigrams on word soup
-        assert g["distinct2_micro"] >= g["distinct1_micro"]
+        # fixture-calibration check (r12 ADVICE): bigram > unigram
+        # diversity holds on the default word-soup fixture, not on any
+        # corpus — guard behind the default fixture path.
+        if sf_dir == "/root/testdata/sf0.01":
+            assert g["distinct2_micro"] >= g["distinct1_micro"]
 
 
 def test_mcnemar_matches_python_reference(spark, sf_dir):

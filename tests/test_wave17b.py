@@ -71,11 +71,14 @@ def test_kn_perplexity_matches_python_reference(spark, sf_dir):
     assert got["ppl_micronat_per_token"] == int(
         round(-total * 1.0 / len(test_bigrams))
     )
-    # structural: KN beats add-one on the SAME split (lower micronats)
-    addone = SPECS["eval_perplexity_heldout"].fn(spark, sf_dir).collect()[0]
-    assert (
-        got["ppl_micronat_per_token"] < addone["ppl_micronat_per_token"]
-    ), "Kneser-Ney should out-model add-one smoothing"
+    # fixture-calibration check (r12 ADVICE): "KN beats add-one" is a
+    # property of the default sf0.01 corpus, not of the queries — skip
+    # it when tests run against a different SPARK_GRAFT_TEST_SF_DIR.
+    if sf_dir == "/root/testdata/sf0.01":
+        addone = SPECS["eval_perplexity_heldout"].fn(spark, sf_dir).collect()[0]
+        assert (
+            got["ppl_micronat_per_token"] < addone["ppl_micronat_per_token"]
+        ), "Kneser-Ney should out-model add-one smoothing"
 
 
 def test_stratified_split_matches_python_reference(spark, sf_dir):
