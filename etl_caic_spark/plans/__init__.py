@@ -132,6 +132,7 @@ from etl_caic_spark.plans import wave17a  # noqa: F401,E402
 from etl_caic_spark.plans import wave17b  # noqa: F401,E402
 from etl_caic_spark.plans import wave17c  # noqa: F401,E402
 from etl_caic_spark.plans import wave18a  # noqa: F401,E402
+from etl_caic_spark.plans import wave18b  # noqa: F401,E402
 
 # Round-13 rotation (r12 verdict ask #1): the window head is the 22
 # round-12 additions (wave16 + wave17a/b/c) that have no driver
@@ -149,6 +150,12 @@ from etl_caic_spark.plans import wave18a  # noqa: F401,E402
 # them via filtered driver_sim, record the green runs in SCALE.md r13,
 # and pin them as the r14 window head so the never-verified pool never
 # regrows past one round.
+# r14 window head (wave18a, all pre-verified hash-green via filtered
+# driver_sim — green runs + probes in SCALE.md r13):
+#   text_decontaminate_ngrams eval_lsh_threshold_sweep
+#   text_bpe_encode eval_quantized_recall
+#   corpus_tokenize_pack_shard eval_contamination_report
+#   text_tokenizer_parity
 _DRIVER_WINDOW = [
     # round-12 additions, never driver-verified (22)
     "eval_wer_corpus",

@@ -358,29 +358,42 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     row a dataset datasheet quotes per corpus slice. Every number is
     an integer or one integer division.
 
-    Plan: one doc scan feeds BOTH leg groupBys (doc-stats at source
-    grain with a distinct-hash count; vocab via token explode at
-    (source, token) grain), joined on the 20-row source dim. At 100 TB
-    the vocab leg dominates (vocabulary-grain reducers, the
-    agg_heavy_hitters class); the datasheet is the cheap byproduct of
-    the scans a curation pipeline already runs."""
+    Plan: one doc scan feeds BOTH legs, each TWO-PHASE (the r13
+    dq_column_profile lesson — a direct count_distinct mixed with other
+    aggregates plans an Expand over the fact rows, and var-length
+    string state in the aggregate buffer degrades to SortAggregate;
+    measured superlinear at the 100x probe, 4.8 -> 27.9 s for 3.3x
+    data). Doc-stats pre-aggregate at (source, content-hash) grain with
+    a fixed-width count/sum/min/max buffer, then roll up to source
+    grain where n_unique_texts is a plain count; vocab deduplicates
+    (source, token) pairs first (count-free hash distinct), then counts
+    per source. Both fact-grain passes stay in hash aggregation with
+    map-side combine; distinct-value-grain reducers as before. After:
+    5.8 s at 30x, 19.1 s at 100x — 3.3x time for 3.3x data, linear."""
     d = load_table(spark, sf_dir, "documents")
     base = d.select(
         "source",
         F.md5("text").alias("h"),
         F.expr("filter(split(text, ' '), w -> length(w) > 0)").alias("ws"),
     )
-    docstats = base.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.count_distinct("h").cast("bigint").alias("n_unique_texts"),
-        F.sum(F.size("ws")).cast("bigint").alias("n_tokens"),
-        F.min(F.size("ws")).cast("bigint").alias("min_tokens"),
-        F.max(F.size("ws")).cast("bigint").alias("max_tokens"),
+    per_text = base.groupBy("source", "h").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.size("ws")).alias("tok_sum"),
+        F.min(F.size("ws")).alias("tok_min"),
+        F.max(F.size("ws")).alias("tok_max"),
+    )
+    docstats = per_text.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_unique_texts"),
+        F.sum("tok_sum").cast("bigint").alias("n_tokens"),
+        F.min("tok_min").cast("bigint").alias("min_tokens"),
+        F.max("tok_max").cast("bigint").alias("max_tokens"),
     )
     vocab = (
         base.select("source", F.explode("ws").alias("tok"))
+        .distinct()
         .groupBy("source")
-        .agg(F.count_distinct("tok").cast("bigint").alias("n_vocab"))
+        .agg(F.count("*").cast("bigint").alias("n_vocab"))
     )
     return docstats.join(vocab, "source").select(
         "source",

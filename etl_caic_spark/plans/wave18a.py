@@ -348,7 +348,9 @@ def eval_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _bpe_encode_oracle() -> str:
+def bpe_learn_sql_prefix() -> str:
+    """The learning CTE chain (wf, v0, p1..t1..v1 .. t{rounds}) shared by
+    every tokenizer-apply oracle — mirrors wave8e.learned_merge_tops."""
     from etl_caic_spark.plans.wave8e import _BPE_PAIR_CTE, _BPE_ROUNDS, _BPE_VOCAB
 
     head = f"""
@@ -362,16 +364,29 @@ def _bpe_encode_oracle() -> str:
       SELECT f, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym
       FROM wf ORDER BY f DESC, w ASC LIMIT {_BPE_VOCAB}
     )"""
-    ctes = "".join(
+    return head + "".join(
         "," + _BPE_PAIR_CTE.format(i=i, prev=i - 1)
         for i in range(1, _BPE_ROUNDS + 1)
     )
-    reps = "sym"
+
+
+def bpe_replace_sql(col: str = "sym") -> tuple[str, str]:
+    """(replace_expr, cross_joins): the rank-ordered double-replace chain
+    over `col` plus the CROSS JOIN t1..tN clause it needs."""
+    from etl_caic_spark.plans.wave8e import _BPE_ROUNDS
+
+    reps = col
     for i in range(1, _BPE_ROUNDS + 1):
         pat = f"' ' || t{i}.l || ' ' || t{i}.r || ' '"
         rep = f"' ' || t{i}.l || t{i}.r || ' '"
         reps = f"replace(replace({reps}, {pat}, {rep}), {pat}, {rep})"
     crosses = " ".join(f"CROSS JOIN t{i}" for i in range(1, _BPE_ROUNDS + 1))
+    return reps, crosses
+
+
+def _bpe_encode_oracle() -> str:
+    head_ctes = bpe_learn_sql_prefix()
+    reps, crosses = bpe_replace_sql("sym")
     body = f""",
     dw AS (
       SELECT lang, source, w
@@ -393,7 +408,7 @@ def _bpe_encode_oracle() -> str:
            CAST(sum(syms_before) - sum(toks_after) AS BIGINT) AS n_merged
     FROM enc GROUP BY 1, 2
     """
-    return head + ctes + body
+    return head_ctes + body
 
 
 @register(

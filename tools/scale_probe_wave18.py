@@ -65,6 +65,9 @@ def main() -> None:
             "eval_lsh_threshold_sweep",
             "text_bpe_encode",
             "eval_quantized_recall",
+            "corpus_tokenize_pack_shard",
+            "eval_contamination_report",
+            "text_tokenizer_parity",
         ):
             fn = REGISTRY[q].fn
             row[q] = timeit(lambda: noop(fn(spark, sfdir)))
