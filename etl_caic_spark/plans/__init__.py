@@ -133,6 +133,7 @@ from etl_caic_spark.plans import wave17b  # noqa: F401,E402
 from etl_caic_spark.plans import wave17c  # noqa: F401,E402
 from etl_caic_spark.plans import wave18a  # noqa: F401,E402
 from etl_caic_spark.plans import wave18b  # noqa: F401,E402
+from etl_caic_spark.plans import wave18c  # noqa: F401,E402
 
 # Round-13 rotation (r12 verdict ask #1): the window head is the 22
 # round-12 additions (wave16 + wave17a/b/c) that have no driver
@@ -155,7 +156,7 @@ from etl_caic_spark.plans import wave18b  # noqa: F401,E402
 #   text_decontaminate_ngrams eval_lsh_threshold_sweep
 #   text_bpe_encode eval_quantized_recall
 #   corpus_tokenize_pack_shard eval_contamination_report
-#   text_tokenizer_parity
+#   text_tokenizer_parity ts_dtw_band
 _DRIVER_WINDOW = [
     # round-12 additions, never driver-verified (22)
     "eval_wer_corpus",
