@@ -39,23 +39,30 @@ def connected_components(
     """pairs(left, right) → (member, component) where component is the
     minimum vertex id in the connected component.
 
-    Size-gated hybrid: when the undirected edge set has at most
-    ``driver_edge_cutoff`` rows (default 1M edges ≈ 16 MB of longs,
+    Size-gated hybrid: when the RAW pair list has at most
+    ``driver_edge_cutoff`` rows (default 1M pairs ≈ 16 MB of longs,
     trivially driver-resident), a single-pass union-find on the driver
     replaces the O(log diameter) join rounds, whose per-iteration fixed
     cost (2 joins + agg + checkpoint + convergence count) dominates for
     the small edge sets that near-dup thresholds typically produce. The
-    gate and the small-regime fetch are ONE job: ``limit(cutoff+1)
-    .collect()`` — when everything fits, the collected rows ARE the
-    input (limit under the total row count is a no-op on content), so no
-    separate checkpoint + count + collect barriers (r12: those three
-    sequential blocking jobs made corpus_curation_pipeline the most
-    host-steal-sensitive query in the fleet). Above the cutoff — the
-    regime a 100 TB corpus with billions of candidate pairs lands in —
-    the probe short-circuits at cutoff+1 rows, the edge set is
-    checkpointed once, and the distributed min-label + pointer-jumping
-    loop below runs unchanged. ``driver_edge_cutoff=0`` forces the
-    distributed path (used by tests to pin its semantics)."""
+    gate and the small-regime fetch are ONE job over the pairs plan
+    ALONE: ``pairs.limit(cutoff+1).collect()`` — union-find is
+    insensitive to duplicate/asymmetric edges, so the raw pairs ARE the
+    input and the small regime never runs the symmetrize-union +
+    distinct shuffle at all (r12: sequential blocking jobs made
+    corpus_curation_pipeline the most host-steal-sensitive query in the
+    fleet; r13 ADVICE: probing the unioned-distinct plan made large
+    graphs pay the distinct twice). Gating on raw pairs is conservative
+    — a heavily duplicated pair list can exceed the cutoff while its
+    distinct edge set would fit — which only sends borderline inputs to
+    the distributed path. Above the cutoff — the regime a 100 TB corpus
+    with billions of candidate pairs lands in — the probe
+    short-circuits at cutoff+1 raw rows (no shuffle executed; the pairs
+    plan's scanned partitions are re-evaluated once more by the
+    checkpoint below), the symmetrized-distinct edge set is built and
+    checkpointed exactly once, and the distributed min-label +
+    pointer-jumping loop below runs unchanged. ``driver_edge_cutoff=0``
+    forces the distributed path (used by tests to pin its semantics)."""
     edges_plan = (
         pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
         .unionByName(
@@ -64,10 +71,20 @@ def connected_components(
         .distinct()
     )
     if driver_edge_cutoff > 0:
-        probe = edges_plan.limit(driver_edge_cutoff + 1).collect()
+        probe = (
+            pairs.select(
+                F.col(left_col).alias("src"), F.col(right_col).alias("dst")
+            )
+            .limit(driver_edge_cutoff + 1)
+            .collect()
+        )
         if len(probe) <= driver_edge_cutoff:
+            # vtype from the POST-UNION schema: if left/right differ in
+            # width (int vs bigint) the union widens, and the driver
+            # path must declare the same type the distributed path
+            # would produce (r13 ADVICE).
             return _driver_union_find(
-                probe, pairs.sparkSession, pairs.schema[left_col].dataType
+                probe, pairs.sparkSession, edges_plan.schema["src"].dataType
             )
     edges = edges_plan.localCheckpoint()
     labels = (
@@ -133,10 +150,13 @@ def connected_components(
 
 
 def _driver_union_find(rows, spark, vtype) -> DataFrame:
-    """Min-root union-find over a bounded, already-collected edge row list.
-    Path-halving + union-by-min keeps the root of every tree at the
-    component's minimum vertex id, matching the distributed loop's output
-    exactly (same (member, component) rows, component = min id)."""
+    """Min-root union-find over a bounded, already-collected (src, dst)
+    row list — duplicates, self-loops, and asymmetric orientation are
+    all absorbed by the union, so raw pairs need no distinct/symmetrize
+    pre-pass. Path-halving + union-by-min keeps the root of every tree
+    at the component's minimum vertex id, matching the distributed
+    loop's output exactly (same (member, component) rows, component =
+    min id)."""
     parent: dict = {}
 
     def find(x):

@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_caic_spark.operators import dedup as D
-from etl_caic_spark.plans.wave18a import bpe_learn_sql_prefix, bpe_replace_sql
+from etl_caic_spark.plans.wave18a import (
+    _DECON_EVAL_CAP,
+    bpe_learn_sql_prefix,
+    bpe_replace_sql,
+)
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 from etl_caic_spark.util import widen_narrow_scan
@@ -94,8 +98,10 @@ def _tps_oracle() -> str:
       FROM packed GROUP BY 1
     )
     SELECT shard, n_docs, n_tokens, n_bins,
-           CAST((2 * n_tokens * 1000000 + n_bins * {_TPS_BUDGET})
-                // (2 * n_bins * {_TPS_BUDGET}) AS BIGINT) AS fill_micro
+           CAST((2 * CAST(n_tokens AS HUGEINT) * 1000000
+                 + CAST(n_bins AS HUGEINT) * {_TPS_BUDGET})
+                // (2 * CAST(n_bins AS HUGEINT) * {_TPS_BUDGET})
+                AS BIGINT) AS fill_micro
     FROM per_shard
     """
     )
@@ -209,9 +215,14 @@ def corpus_tokenize_pack_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_tokens",
         "n_bins",
+        # n_tokens is a corpus-scale per-shard count: 2 * n_tokens * 1e6
+        # overflows int64 at ~5e12 tokens/shard, inside the 100 TB design
+        # point — widen to decimal(38,0)/HUGEINT (the parity_micro
+        # discipline; r13 ADVICE).
         F.expr(
-            f"(2 * n_tokens * 1000000 + n_bins * {_TPS_BUDGET})"
-            f" div (2 * n_bins * {_TPS_BUDGET})"
+            f"(2 * cast(n_tokens as decimal(38,0)) * 1000000"
+            f" + cast(n_bins as decimal(38,0)) * {_TPS_BUDGET})"
+            f" div (2 * cast(n_bins as decimal(38,0)) * {_TPS_BUDGET})"
         )
         .cast("bigint")
         .alias("fill_micro"),
@@ -223,6 +234,10 @@ def corpus_tokenize_pack_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _RPT_MOD = 37  # the frozen eval split of text_decontaminate_ngrams
+# Same absolute eval-split bound as text_decontaminate_ngrams: the
+# report broadcasts eval-side grams/probes, which is only sound if the
+# eval suite is a FIXED artifact, not corpus/_RPT_MOD (r13 ADVICE class).
+_RPT_CAP = _DECON_EVAL_CAP
 _RPT_NGRAM = 13
 _RPT_SHINGLE_MIN = 2
 _RPT_DF_CAP = 20
@@ -230,7 +245,7 @@ _RPT_DF_CAP = 20
 _RPT_SQL = f"""
     WITH w AS (
       SELECT doc_id, text, n_chars, string_split(text, ' ') AS words,
-             doc_id % {_RPT_MOD} = 0 AS is_eval
+             doc_id % {_RPT_MOD} = 0 AND doc_id < {_RPT_CAP} AS is_eval
       FROM documents
     ),
     eval_docs AS (SELECT doc_id, text, n_chars FROM w WHERE is_eval),
@@ -307,7 +322,10 @@ _RPT_SQL = f"""
 )
 def eval_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The publishable decontamination audit: ONE row per eval-split
-    document (doc_id % {_RPT_MOD} == 0) with all three gates the
+    document (doc_id % {_RPT_MOD} == 0 AND doc_id < {_RPT_CAP} — the
+    same frozen, absolutely-bounded eval suite as
+    text_decontaminate_ngrams, which is what licenses the eval-side
+    broadcasts below) with all three gates the
     engine registers separately — exact 30-char substring hits
     (text_substring_contamination's BroadcastNestedLoopJoin shape,
     probes from the eval side), verbatim {_RPT_NGRAM}-gram collisions
@@ -329,7 +347,9 @@ def eval_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         "n_chars",
-        (F.col("doc_id") % _RPT_MOD == 0).alias("is_eval"),
+        (
+            (F.col("doc_id") % _RPT_MOD == 0) & (F.col("doc_id") < _RPT_CAP)
+        ).alias("is_eval"),
     )
     eval_docs = base.filter("is_eval").select("doc_id", "text", "n_chars")
     train = base.filter(~F.col("is_eval"))
@@ -444,10 +464,12 @@ def _parity_oracle() -> str:
       FROM per_lang
     )
     SELECT lang, n_words, n_tokens,
-           CAST((2 * n_tokens * 1000000 + n_words) // (2 * n_words)
-                AS BIGINT) AS fertility_micro,
-           CAST((2 * n_chars * 1000000 + n_tokens) // (2 * n_tokens)
-                AS BIGINT) AS chars_per_token_micro,
+           CAST((2 * CAST(n_tokens AS HUGEINT) * 1000000 + n_words)
+                // (2 * CAST(n_words AS HUGEINT)) AS BIGINT)
+             AS fertility_micro,
+           CAST((2 * CAST(n_chars AS HUGEINT) * 1000000 + n_tokens)
+                // (2 * CAST(n_tokens AS HUGEINT)) AS BIGINT)
+             AS chars_per_token_micro,
            CAST((2 * CAST(n_tokens AS HUGEINT) * tw * 1000000
                  + CAST(n_words AS HUGEINT) * tt)
                 // (2 * CAST(n_words AS HUGEINT) * tt) AS BIGINT)
@@ -518,10 +540,19 @@ def text_tokenizer_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_words",
         "n_tokens",
-        F.expr("(2 * n_tokens * 1000000 + n_words) div (2 * n_words)")
+        # n_tokens/n_chars are per-language corpus-scale counts: the
+        # 2 * x * 1e6 numerators overflow int64 at ~5e12, inside the
+        # 100 TB design point — widened like parity_micro (r13 ADVICE).
+        F.expr(
+            "(2 * cast(n_tokens as decimal(38,0)) * 1000000 + n_words)"
+            " div (2 * cast(n_words as decimal(38,0)))"
+        )
         .cast("bigint")
         .alias("fertility_micro"),
-        F.expr("(2 * n_chars * 1000000 + n_tokens) div (2 * n_tokens)")
+        F.expr(
+            "(2 * cast(n_chars as decimal(38,0)) * 1000000 + n_tokens)"
+            " div (2 * cast(n_tokens as decimal(38,0)))"
+        )
         .cast("bigint")
         .alias("chars_per_token_micro"),
         # parity multiplies two corpus-scale counts by 1e6: the int64

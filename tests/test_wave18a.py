@@ -19,16 +19,18 @@ def _shingles(words, k):
 
 
 def test_decontaminate_matches_python_reference(spark, sf_dir):
+    from etl_caic_spark.plans.wave18a import _DECON_EVAL_CAP
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
     grams = {r["doc_id"]: _shingles(r["text"].split(" "), 13) for r in docs}
-    ev = defaultdict(set)  # gram -> eval docs
+    ev = defaultdict(set)  # gram -> eval docs (frozen: mod AND absolute cap)
     for did, gs in grams.items():
-        if did % 37 == 0:
+        if did % 37 == 0 and did < _DECON_EVAL_CAP:
             for g in gs:
                 ev[g].add(did)
     expected = {}
     for did, gs in grams.items():
-        if did % 37 == 0:
+        if did % 37 == 0 and did < _DECON_EVAL_CAP:
             continue
         hit = {g for g in gs if g in ev}
         if hit:
