@@ -134,53 +134,49 @@ from etl_caic_spark.plans import wave17c  # noqa: F401,E402
 from etl_caic_spark.plans import wave18a  # noqa: F401,E402
 from etl_caic_spark.plans import wave18b  # noqa: F401,E402
 from etl_caic_spark.plans import wave18c  # noqa: F401,E402
+from etl_caic_spark.plans import wave19a  # noqa: F401,E402
 
-# Round-13 rotation (r12 verdict ask #1): the window head is the 22
-# round-12 additions (wave16 + wave17a/b/c) that have no driver
-# CORRECTNESS row yet — all 22 were pre-verified hash-green via
-# filtered tools/driver_sim.py in round 12 (SCALE.md r12) AND
-# independently re-verified hash-green by the r12 judge. When
-# CORRECTNESS_r13 lands green, cumulative driver-verified coverage is
-# 462/462 of the pre-r13 registry. The remaining 28 slots are refresh
-# picks: the 7 rows-only approx queries (re-confirmed each rotation
-# since they carry the weaker rows-only check) and the 21
-# oldest-verified names (r01-era relational core) as regression
+# Round-14 rotation (r13 verdict ask #1): the window head is the 8
+# round-13 additions (wave18a/b/c) that have no driver CORRECTNESS row
+# yet — all 8 were pre-verified hash-green via filtered
+# tools/driver_sim.py in round 13 (SCALE.md r13) AND independently
+# re-verified hash-green by the r13 judge. When CORRECTNESS_r14 lands
+# green, cumulative driver-verified coverage is 470/470 of the pre-r14
+# registry. Four of the 8 changed shape THIS round (r13 ADVICE fixes:
+# eval_quantized_recall oracle cap, decontaminate/contamination eval
+# bound, tokenizer/fill micro widening, sweep df-capped truth leg) and
+# were re-pre-verified hash-green at the new shape (SCALE.md r14).
+# Next 4 slots: the queries whose shared connected-components operator
+# changed this round (raw-pair gate + post-union vtype — output must be
+# byte-identical, re-pinned to prove it). The remaining 38: the 7
+# rows-only approx queries (re-confirmed each rotation since they carry
+# the weaker rows-only check) and the 31 oldest-verified names (r01/r03
+# era not refreshed in r13, plus the oldest r04 picks) as regression
 # canaries.
 #
-# ROUND-14 NOTE: wave18+ additions cannot fit this window — pre-verify
-# them via filtered driver_sim, record the green runs in SCALE.md r13,
-# and pin them as the r14 window head so the never-verified pool never
+# ROUND-15 NOTE: wave19+ additions cannot fit this window — pre-verify
+# them via filtered driver_sim, record the green runs in SCALE.md r14,
+# and pin them as the r15 window head so the never-verified pool never
 # regrows past one round.
-# r14 window head (wave18a, all pre-verified hash-green via filtered
-# driver_sim — green runs + probes in SCALE.md r13):
-#   text_decontaminate_ngrams eval_lsh_threshold_sweep
-#   text_bpe_encode eval_quantized_recall
-#   corpus_tokenize_pack_shard eval_contamination_report
-#   text_tokenizer_parity ts_dtw_band
+# r15 window head (wave19a, all pre-verified hash-green via filtered
+# driver_sim — green runs + probes in SCALE.md r14):
+#   dedup_gram50_exact quality_fasttext_linear
+#   eval_crossmodal_recall eval_reward_margin
 _DRIVER_WINDOW = [
-    # round-12 additions, never driver-verified (22)
-    "eval_wer_corpus",
-    "eval_cer_corpus",
-    "data_pack_bestfit",
-    "stat_page_hinkley",
-    "stat_mann_kendall",
-    "agg_heavy_hitters_exact",
-    "eval_span_f1",
-    "eval_distinct_ngrams",
-    "stat_mcnemar",
-    "stat_runs_test",
-    "ts_sax_symbolize",
-    "priv_dp_quantile",
-    "eval_kn_perplexity",
-    "data_stratified_split",
-    "priv_uniqueness_risk",
-    "dq_column_profile",
-    "sample_bernoulli_hash",
-    "text_burstiness",
-    "stat_g_test",
-    "stat_bartlett",
-    "data_oversample_minority",
-    "corpus_datasheet",
+    # round-13 additions, never driver-verified (8)
+    "text_decontaminate_ngrams",
+    "eval_lsh_threshold_sweep",
+    "text_bpe_encode",
+    "eval_quantized_recall",
+    "corpus_tokenize_pack_shard",
+    "eval_contamination_report",
+    "text_tokenizer_parity",
+    "ts_dtw_band",
+    # consumers of the r14-changed connected-components gate (4)
+    "dedup_groups",
+    "corpus_curation_pipeline",
+    "link_entity_resolution",
+    "geo_dbscan_core",
     # rows-only approx family, re-confirmed every rotation (7)
     "agg_approx_distinct",
     "agg_approx_quantile",
@@ -189,28 +185,39 @@ _DRIVER_WINDOW = [
     "dedup_simhash",
     "sim_topk_ivf",
     "sim_topk_ivf_kmeans",
-    # oldest-verified regression canaries, r01 era (21)
-    "scan_project",
-    "project_compute",
-    "filter_eq",
-    "filter_compound",
-    "filter_nullsafe",
-    "join_broadcast_inner",
-    "join_sortmerge",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross_small",
-    "join_range",
-    "agg_groupby_q1",
-    "agg_count_distinct",
-    "agg_having",
-    "agg_rollup",
-    "agg_cube",
-    "sort_multikey",
-    "sort_topk",
-    "set_union_all",
+    # oldest-verified regression canaries: r01-era not in the r13
+    # refresh (21), the r03 era (4), and the oldest r04 picks (6)
+    "agg_least_ordinal",
+    "dedup_ngram_jaccard",
+    "explode_pos",
+    "fn_conditional",
+    "fn_date",
+    "fn_map_lookup",
+    "fn_math",
+    "fn_string",
+    "fn_urlencode",
+    "json_decode_lenient",
+    "json_decode_strict",
+    "json_extract_props",
+    "set_except",
+    "set_intersect",
+    "set_union_distinct",
+    "sim_topk_cosine",
+    "win_lag_lead",
+    "win_moving_avg",
+    "win_rank",
+    "win_running_sum",
+    "win_topk_per_group",
+    "dedup_fuzzy_levenshtein",
+    "sink_csv_roundtrip",
+    "sink_jsonl_roundtrip",
+    "sink_orc_roundtrip",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_jaccard_capped",
+    "doc_fingerprint",
+    "embed_normalize",
+    "embed_quantize",
 ]
 
 
