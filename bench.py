@@ -7,7 +7,19 @@ tail — round 1's BENCH parsed as null); the complete per-query map is
 written to BENCH_FULL.json next to this script.
 
 Each query is forced end-to-end with the noop sink (df.write.format("noop"))
-so projection/aggregation work is not optimized away by a count()."""
+so projection/aggregation work is not optimized away by a count().
+
+Steal sentinel (r13 verdict ask #2): this sandbox suffers bursty external
+CPU steal that inflated whole segments of the r13 bench 1.4x with no code
+change. A fixed ~0.3 s control query is timed before the sweep (min-of-3 =
+control_base) and again after every _SENTINEL_EVERY queries; when a control
+reading exceeds _SENTINEL_FACTOR x control_base, every query in that
+segment is marked steal-suspect and re-timed once at the end. BENCH_FULL
+gains a machine-readable "steal_adjusted" block — control base/readings,
+contaminated segments, per-query adjusted (min over all measurements)
+timings, and the adjusted total — so cross-round comparison no longer
+depends on prose re-timing tables in SCALE.md. The headline JSON line
+carries both the raw and the adjusted totals."""
 
 from __future__ import annotations
 
@@ -25,6 +37,32 @@ def run_once(spark, spec, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = spec.fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+_SENTINEL_EVERY = 10  # control reading after every N timed queries
+_SENTINEL_FACTOR = 2.0  # reading > factor x base => segment contaminated
+
+
+def run_control(spark, sf_dir: str) -> float:
+    """Fixed-cost control job (~0.3 s at sf0.1): scan+shuffle+agg over
+    lineitem — the same machinery (parquet reader, hash agg, one
+    exchange) the fleet exercises, with a constant plan so any reading
+    swing is the HOST's, not the code's."""
+    from pyspark.sql import functions as F
+
+    from etl_caic_spark.sources import load_table
+
+    t0 = time.perf_counter()
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .groupBy((F.col("l_orderkey") % 101).alias("k"))
+        .agg(F.sum("l_quantity").alias("s"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     return time.perf_counter() - t0
 
 
@@ -125,7 +163,15 @@ def main() -> None:
     import gc
     import statistics
 
+    # Steal-sentinel baseline: min-of-3 control readings on the warmed
+    # session. The min (not mean) is the uncontended cost — steal only
+    # ever inflates.
+    control_base = round(min(run_control(spark, sf_dir) for _ in range(3)), 4)
+    control_reads: list[dict] = []
+
     timings: dict[str, float] = {}
+    segment: list[str] = []
+    suspect: set[str] = set()
     for name in sorted(specs):
         try:
             timings[name] = round(run_once(spark, specs[name], sf_dir), 4)
@@ -137,6 +183,22 @@ def main() -> None:
         # queries — otherwise storage memory ratchets up across 167 queries
         # and later ones pay the GC bill.
         gc.collect()
+        segment.append(name)
+        if len(segment) >= _SENTINEL_EVERY:
+            c = round(run_control(spark, sf_dir), 4)
+            inflated = c > _SENTINEL_FACTOR * control_base
+            control_reads.append(
+                {"after": name, "sec": c, "inflated": inflated}
+            )
+            if inflated:
+                suspect.update(segment)
+            segment = []
+    if segment:  # tail segment gets its own reading
+        c = round(run_control(spark, sf_dir), 4)
+        inflated = c > _SENTINEL_FACTOR * control_base
+        control_reads.append({"after": segment[-1], "sec": c, "inflated": inflated})
+        if inflated:
+            suspect.update(segment)
 
     # Host-stall mitigation: on this shared sandbox a random query per run
     # absorbs a multi-second scheduler stall (the same query measures <3s
@@ -159,6 +221,26 @@ def main() -> None:
                 retries[name] = [t, t2]
                 timings[name] = min(t, t2)
                 gc.collect()
+    # Steal-adjusted pass: every query whose segment's control reading
+    # inflated is re-timed ONCE (unless the stall-retry above already
+    # re-timed it); the adjusted axis is the per-query min over all
+    # measurements. First-run values stay untouched in "queries" — both
+    # axes land in BENCH_FULL for audit.
+    steal_retimes: dict[str, list[float]] = {}
+    adjusted: dict[str, float] = dict(timings)
+    for name in sorted(suspect):
+        if timings.get(name, -1.0) < 0:
+            continue
+        if name in retries:
+            continue  # already has a second measurement
+        try:
+            t2 = round(run_once(spark, specs[name], sf_dir), 4)
+        except Exception:  # pragma: no cover
+            continue
+        steal_retimes[name] = [timings[name], t2]
+        adjusted[name] = min(timings[name], t2)
+        gc.collect()
+    adjusted_total = round(sum(t for t in adjusted.values() if t >= 0), 4)
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     failed = sorted(n for n, t in timings.items() if t < 0)
     slowest = dict(
@@ -175,6 +257,16 @@ def main() -> None:
         "queries": timings,
         "failed": failed,
         "stall_retries": retries,
+        "steal_adjusted": {
+            "control_base_sec": control_base,
+            "control_reads": control_reads,
+            "n_inflated_segments": sum(
+                1 for r in control_reads if r["inflated"]
+            ),
+            "retimes": steal_retimes,
+            "queries": adjusted,
+            "total_sec": adjusted_total,
+        },
     }
     with open(os.path.join(repo, "BENCH_FULL.json"), "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
@@ -209,6 +301,11 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "n_failed": len(failed),
+                "steal_adjusted_total_sec": adjusted_total,
+                "control_base_sec": control_base,
+                "n_inflated_segments": sum(
+                    1 for r in control_reads if r["inflated"]
+                ),
                 "full_timings": "BENCH_FULL.json",
             }
         )
