@@ -22,10 +22,7 @@ from pyspark.sql import functions as F
 
 from etl_caic_spark.operators import dedup as D
 from etl_caic_spark.operators.components import dedup_groups
-from etl_caic_spark.operators.text_analysis import (
-    quality_features,
-    repetition_signals,
-)
+from etl_caic_spark.operators.text_analysis import quality_features
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 
@@ -121,8 +118,21 @@ _TOP_WORD_MAX = 0.12
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation: exact dedup → near-dup connected-
     component collapse (keep min-id representative) → quality gate →
-    repetition gate. See module docstring; each stage is the registered
-    standalone operator, composed into one plan."""
+    repetition gate. See module docstring.
+
+    r14 fusion (r13 verdict ask #4): the repetition gate no longer
+    calls the standalone repetition_signals operator (explode →
+    (doc, word) shuffle → doc-grain max → join back onto the quality
+    frame — two exchanges plus a join). top_word_frac has a per-row
+    equivalent: the longest equal-run in the SORTED word array is
+    exactly max(word count), so one array_sort + aggregate fold
+    computes the same round(max(c)/sum(c), 6) with ZERO shuffles and
+    no join — stages 3+4 are now a single projection fused into the
+    representative scan. The standalone repetition_signals query is
+    unchanged; the oracle here is unchanged (values are identical,
+    hash-verified). At 100 TB this trades a corpus-wide (doc, word)
+    exchange for an in-place per-doc sort — strictly fewer barriers
+    on the flagship path."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
@@ -145,21 +155,37 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = c1.join(
         groups.filter(F.col("is_representative")).select("doc_id"), "doc_id"
     )
-    # Stages 3+4: quality + repetition gates.
-    scored = c2.select(
+    # Stages 3+4: quality + repetition gates, fused into one per-row
+    # projection (docstring): top word count == longest equal-run in the
+    # sorted word array.
+    words = F.split(F.col("text"), " ")
+    run = F.aggregate(
+        F.array_sort(words),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("mx"),
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(acc["prev"].isNull() | (acc["prev"] != w), F.lit(1))
+            .otherwise(acc["run"] + 1)
+            .alias("run"),
+            F.greatest(
+                acc["mx"],
+                F.when(acc["prev"].isNull() | (acc["prev"] != w), F.lit(1))
+                .otherwise(acc["run"] + 1),
+            ).alias("mx"),
+        ),
+    )
+    gated = c2.select(
         "doc_id",
         "lang",
         "source",
         quality_features(F.col("text"))["quality_score"].alias("quality_score"),
+        F.round(run["mx"] / F.size(words), 6).alias("top_word_frac"),
     )
-    rep = repetition_signals(
-        c2, "doc_id", "text", include_bigrams=False
-    ).select("doc_id", "top_word_frac")
-    return (
-        scored.join(rep, "doc_id")
-        .filter(
-            (F.col("quality_score") >= _QUALITY_MIN)
-            & (F.col("top_word_frac") <= _TOP_WORD_MAX)
-        )
-        .select("doc_id", "lang", "source", "quality_score", "top_word_frac")
-    )
+    return gated.filter(
+        (F.col("quality_score") >= _QUALITY_MIN)
+        & (F.col("top_word_frac") <= _TOP_WORD_MAX)
+    ).select("doc_id", "lang", "source", "quality_score", "top_word_frac")
