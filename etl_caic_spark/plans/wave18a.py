@@ -294,25 +294,49 @@ def eval_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = D.minhash_md5_signatures(
         d, "doc_id", "text", num_hashes=_SWEEP_HASHES, k=3
     ).localCheckpoint()
-    kept = None
+    # ONE self-join for all three configs: the banded rows of every
+    # config union first (with a bands tag in the key), so the bucket
+    # join, the distinct, and the signature-verify joins each run once
+    # over the union instead of once per config (r14: replaced three
+    # per-config minhash_md5_candidate_pairs calls — 3 self-joins + 6
+    # sig joins — with this shape; same candidate set per config, the
+    # builder's exact est_jaccard float compare).
+    banded = None
     for bands in _SWEEP_BANDS:
-        leg = D.minhash_md5_candidate_pairs(
-            None,
-            "doc_id",
-            "text",
-            num_hashes=_SWEEP_HASHES,
-            bands=bands,
-            k=3,
-            threshold=0.5,
-            checkpoint_sig=True,
-            sig=sig,
-        ).select(
-            F.lit(bands).alias("bands"),
-            "doc_a",
-            "doc_b",
-            F.lit(1).alias("in_cand"),
+        leg = D._md5_banded(
+            sig, _SWEEP_HASHES, bands, carry_sig=False
+        ).select(F.lit(bands).alias("bands"), "doc", "band_idx", "band_hash")
+        banded = leg if banded is None else banded.unionByName(leg)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bands") == F.col("b.bands"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
         )
-        kept = leg if kept is None else kept.unionByName(leg)
+        .select(
+            F.col("a.bands").alias("bands"),
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    kept = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(agree / F.lit(_SWEEP_HASHES) >= 0.5)
+        .select("bands", "doc_a", "doc_b", F.lit(1).alias("in_cand"))
+    )
     fanout = spark.sparkContext.defaultParallelism
     sh = (
         widen_narrow_scan(d)
