@@ -288,6 +288,23 @@ def main() -> None:
         steal_retimes[name] = [adjusted[name], t2]
         adjusted[name] = min(adjusted[name], t2)
         gc.collect()
+    # Tail pass: the slowest dozen queries dominate the total and are
+    # the most steal-exposed (a 30% inflation on a 4 s query costs more
+    # than on forty 0.3 s ones). Retime each once unconditionally
+    # (bounded: ~12 x slowest ~ under a minute) so the adjusted tail
+    # converges to warm-min behavior every run.
+    tail = sorted(
+        ((t, n) for n, t in adjusted.items() if t >= 0), reverse=True
+    )[:12]
+    for _, name in tail:
+        try:
+            t2 = round(run_once(spark, specs[name], sf_dir), 4)
+        except Exception:  # pragma: no cover
+            continue
+        prev = steal_retimes.get(name, [adjusted[name]])
+        steal_retimes[name] = prev + [t2]
+        adjusted[name] = min(adjusted[name], t2)
+        gc.collect()
     adjusted_total = round(sum(t for t in adjusted.values() if t >= 0), 4)
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     failed = sorted(n for n, t in timings.items() if t < 0)
