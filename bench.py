@@ -42,6 +42,86 @@ def run_once(spark, spec, sf_dir: str) -> float:
 
 _SENTINEL_EVERY = 10  # control reading after every N timed queries
 _SENTINEL_FACTOR = 2.0  # reading > factor x base => segment contaminated
+_REGRESS_FACTOR = 1.5  # retime if > factor x prior-round archive value
+_REGRESS_FLOOR = 0.5  # ...and above this absolute floor (sec)
+_REGRESS_CAP = 60  # at most this many regression retimes per run
+_TAIL_K = 12  # slowest-K unconditional retimes
+
+
+def _load_prior_archive(repo_dir: str) -> dict:
+    rounds = sorted(
+        int(m.group(1))
+        for f in os.listdir(repo_dir)
+        if (m := re.match(r"BENCH_FULL_r(\d+)\.json$", f))
+    )
+    if not rounds:
+        return {}
+    try:
+        with open(
+            os.path.join(repo_dir, f"BENCH_FULL_r{rounds[-1]:02d}.json")
+        ) as fh:
+            return json.load(fh)
+    except Exception:  # pragma: no cover - archive is best-effort
+        return {}
+
+
+def load_prior_adjusted(repo_dir: str) -> dict[str, float]:
+    """Per-query baseline from the newest BENCH_FULL_r{N}.json archive —
+    its steal_adjusted axis when present, raw queries otherwise. Empty
+    dict when no archive exists or it cannot be read."""
+    pdata = _load_prior_archive(repo_dir)
+    if not pdata:
+        return {}
+    return pdata.get("steal_adjusted", {}).get("queries") or pdata.get(
+        "queries", {}
+    )
+
+
+def load_prior_control_base(repo_dir: str) -> float | None:
+    """The newest archive's control base. A run whose own min-of-3
+    control readings are steal-inflated would otherwise raise the
+    sentinel threshold and blind itself (observed: base 0.96 s on a
+    stolen box vs 0.25-0.38 s quiet) — flooring against the best KNOWN
+    uncontended cost keeps the trigger honest."""
+    pdata = _load_prior_archive(repo_dir)
+    base = pdata.get("steal_adjusted", {}).get("control_base_sec")
+    return float(base) if isinstance(base, (int, float)) and base > 0 else None
+
+
+def pick_regressed(
+    adjusted: dict[str, float],
+    prior: dict[str, float],
+    already: set[str],
+    factor: float = _REGRESS_FACTOR,
+    floor: float = _REGRESS_FLOOR,
+    cap: int = _REGRESS_CAP,
+) -> list[str]:
+    """Queries whose reading exceeds factor x their prior-archive value
+    (and the absolute floor), worst inflation first, capped — the
+    cross-round regression retime set."""
+    ranked = sorted(
+        (
+            (adjusted[n] / prior[n], n)
+            for n in adjusted
+            if n in prior
+            and prior[n] > 0
+            and adjusted[n] > max(floor, factor * prior[n])
+            and n not in already
+        ),
+        reverse=True,
+    )[:cap]
+    return [n for _, n in ranked]
+
+
+def pick_tail(adjusted: dict[str, float], k: int = _TAIL_K) -> list[str]:
+    """The slowest k queries (they dominate the total and are the most
+    steal-exposed) — the unconditional retime set."""
+    return [
+        n
+        for _, n in sorted(
+            ((t, n) for n, t in adjusted.items() if t >= 0), reverse=True
+        )[:k]
+    ]
 
 
 def run_control(spark, sf_dir: str) -> float:
@@ -164,9 +244,18 @@ def main() -> None:
     import statistics
 
     # Steal-sentinel baseline: min-of-3 control readings on the warmed
-    # session. The min (not mean) is the uncontended cost — steal only
-    # ever inflates.
-    control_base = round(min(run_control(spark, sf_dir) for _ in range(3)), 4)
+    # session, floored against the prior archive's base (steal only ever
+    # inflates, so the best KNOWN reading is the uncontended cost; a
+    # base measured on a stolen box would otherwise blind the sentinel).
+    measured_base = round(
+        min(run_control(spark, sf_dir) for _ in range(3)), 4
+    )
+    prior_base = load_prior_control_base(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    control_base = (
+        min(measured_base, prior_base) if prior_base else measured_base
+    )
     control_reads: list[dict] = []
 
     timings: dict[str, float] = {}
@@ -248,39 +337,13 @@ def main() -> None:
     # axis converges to warm-min behavior exactly where cross-round
     # comparison needs it. All measurements land in steal_adjusted for
     # audit.
-    prior: dict[str, float] = {}
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
-    prior_rounds = sorted(
-        int(m.group(1))
-        for f in os.listdir(repo_dir)
-        if (m := re.match(r"BENCH_FULL_r(\d+)\.json$", f))
+    prior = load_prior_adjusted(os.path.dirname(os.path.abspath(__file__)))
+    regress = pick_regressed(
+        {n: t for n, t in adjusted.items() if t >= 0},
+        prior,
+        set(steal_retimes) | set(retries),
     )
-    if prior_rounds:
-        try:
-            with open(
-                os.path.join(
-                    repo_dir, f"BENCH_FULL_r{prior_rounds[-1]:02d}.json"
-                )
-            ) as fh:
-                pdata = json.load(fh)
-            prior = pdata.get("steal_adjusted", {}).get("queries") or pdata[
-                "queries"
-            ]
-        except Exception:  # pragma: no cover - archive is best-effort
-            prior = {}
-    regress = sorted(
-        (
-            (adjusted[n] / prior[n], n)
-            for n in adjusted
-            if n in prior
-            and prior[n] > 0
-            and adjusted[n] > max(0.5, 1.5 * prior[n])
-            and n not in steal_retimes
-            and n not in retries
-        ),
-        reverse=True,
-    )[:60]
-    for _, name in regress:
+    for name in regress:
         try:
             t2 = round(run_once(spark, specs[name], sf_dir), 4)
         except Exception:  # pragma: no cover
@@ -293,10 +356,7 @@ def main() -> None:
     # than on forty 0.3 s ones). Retime each once unconditionally
     # (bounded: ~12 x slowest ~ under a minute) so the adjusted tail
     # converges to warm-min behavior every run.
-    tail = sorted(
-        ((t, n) for n, t in adjusted.items() if t >= 0), reverse=True
-    )[:12]
-    for _, name in tail:
+    for name in pick_tail(adjusted):
         try:
             t2 = round(run_once(spark, specs[name], sf_dir), 4)
         except Exception:  # pragma: no cover
@@ -324,6 +384,7 @@ def main() -> None:
         "stall_retries": retries,
         "steal_adjusted": {
             "control_base_sec": control_base,
+            "control_base_measured_sec": measured_base,
             "control_reads": control_reads,
             "n_inflated_segments": sum(
                 1 for r in control_reads if r["inflated"]
