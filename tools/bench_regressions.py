@@ -39,8 +39,17 @@ def main() -> None:
             return
         prev_path = os.path.join(repo, archives[-2])
         curr_path = os.path.join(repo, archives[-1])
-    prev = json.load(open(prev_path))["queries"]
-    curr = json.load(open(curr_path))["queries"]
+    def axis(path: str) -> dict:
+        # Prefer the steal_adjusted axis (r14+): per-query min over all
+        # measurements — the cross-round comparison axis. Raw first-run
+        # values remain under "queries" for older archives.
+        data = json.load(open(path))
+        return data.get("steal_adjusted", {}).get("queries") or data[
+            "queries"
+        ]
+
+    prev = axis(prev_path)
+    curr = axis(curr_path)
     shared = sorted(set(prev) & set(curr))
     rows = []
     for name in shared:
