@@ -116,20 +116,26 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring: portable md5 registers → bit-identical estimates on both
     engines; exact distinct carried alongside for auditability).
 
-    Plan shape (round 11): ONE fact scan to the distinct (grp, key)
-    frame — duplicates of a key produce the SAME md5/rho, so registers
-    computed over distinct keys are bit-identical while the md5 work
-    shrinks by the duplication factor — checkpointed and shared by the
-    sketch leg AND both exact-audit legs (previously three independent
-    fact scans). Registers are two map-side-combinable groupBys of at
-    most groups × 256 rows; the merge row reuses the per-group
-    registers. At 100 TB you'd drop the audit columns and the sketch is
-    one pass + a 256-row-per-group reduce — the canonical distributed
-    cardinality plan."""
+    Plan shape (round 11, revised r14): the distinct (grp, key) frame —
+    duplicates of a key produce the SAME md5/rho, so registers computed
+    over distinct keys are bit-identical while the md5 work shrinks by
+    the duplication factor — feeds the sketch leg AND both exact-audit
+    legs as three sibling subtrees of ONE job. r11 materialized it with
+    localCheckpoint; r14 removed the checkpoint: the blocking barrier
+    SERIALIZED the distinct job ahead of the main job (and was the
+    query's whole steal exposure — 8.1 s first-runs on a stolen box vs
+    1.7-1.9 s barrier-free), while recomputing the cheap narrow distinct
+    per sibling pipelines everything into one overlapped job (A/B at
+    sf0.1: 1.69 vs 2.04 s warm min, byte-identical output). Registers
+    are two map-side-combinable groupBys of at most groups × 256 rows;
+    the merge row reuses the per-group registers. At 100 TB you'd drop
+    the audit columns entirely and the sketch is one pass + a
+    256-row-per-group reduce — the canonical distributed cardinality
+    plan."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("grp"), F.col("l_orderkey").alias("k")
     )
-    dk = li.distinct().localCheckpoint()
+    dk = li.distinct()
     h = dk.select(
         "grp",
         "k",
