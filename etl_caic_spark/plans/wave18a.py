@@ -618,11 +618,16 @@ def eval_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both rankings tie-break on vec_id; the integer leg has no float
     at all, so the comparison is bit-portable across engines.
 
-    Plan shape (probed 1x/10x/30x): the normalize+quantize frame is
-    localCheckpoint'd — its higher-order-function lambdas (interpreted,
-    not codegen) are the per-row cost, and BOTH the broadcast query
-    slice and the scoring side consume it, so without the checkpoint
-    the corpus-wide lambda pass ran twice. Scoring is one broadcast
+    Plan shape (probed 1x/10x/30x/100x; checkpoint dropped r14): the
+    normalize+quantize frame feeds the broadcast query slice and the
+    scoring side as two sibling subtrees — the query slice's vec_id
+    filter pushes BELOW the interpreted lambdas to the scan, so the
+    capped side only computes lambdas on its bounded rows and the
+    corpus-wide pass runs ONCE (the r13 checkpoint assumed both sides
+    were corpus-wide; with the absolute cap they are not, and the
+    blocking barrier cost more than it saved — A/B at sf0.1: 0.86 vs
+    1.16 s warm min, 1.01 vs 5.14 s first-run under steal).
+    Scoring is one broadcast
     nested-loop pass producing BOTH scores per pair; both top-k ranks
     come from ONE window exchange (same query_id partitioning — Spark
     plans one shuffle, two sorts), and recall falls out of a filter +
@@ -655,7 +660,7 @@ def eval_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             "ue", lambda x: F.round(x * 127.0 / maxabs).cast("bigint")
         ).alias("qv"),
-    ).localCheckpoint()  # 2 consumers of the interpreted-lambda pass
+    )  # no barrier: the capped query side's filter pushes below the lambdas
     q = qz.filter(
         (F.col("vec_id") % _QR_MOD == 0) & (F.col("vec_id") < _QR_CAP)
     ).select(

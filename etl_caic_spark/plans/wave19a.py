@@ -281,15 +281,19 @@ def eval_crossmodal_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     `hit` is the retrieval recall the contrastive-training loop
     monitors; per-query rows keep the failure cases inspectable.
 
-    Plan shape: the normalize pass is computed once
-    (localCheckpoint — interpreted higher-order lambdas are the
-    per-row cost, and both towers consume it); the bounded query
-    slice BROADCASTS against the image tower (one nested-loop score
-    pass, no shuffle of the corpus); the rank is one window exchange
-    at query_id grain; the final filter keeps one row per query. At
-    100 TB: the image tower streams once past a fixed query set —
-    corpus-linear; the production path would IVF-prune the same
-    scoring expression."""
+    Plan shape: the normalized frame feeds both towers as sibling
+    subtrees with NO blocking checkpoint — each tower's vec_id parity
+    filter pushes BELOW the interpreted normalize lambdas to the scan,
+    so the odd half and the capped query slice each compute exactly
+    their own lambdas (total < one corpus pass; a materializing
+    barrier would cost a serialized job to save work that the
+    pushdown already avoids). The bounded query slice BROADCASTS
+    against the image tower (one nested-loop score pass, no shuffle
+    of the corpus); the rank is one window exchange at query_id
+    grain; the final filter keeps one row per query. At 100 TB: the
+    image tower streams once past a fixed query set — corpus-linear;
+    the production path would IVF-prune the same scoring
+    expression."""
     e = load_table(spark, sf_dir, "embeddings")
     dbl = widen_narrow_scan(e).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
@@ -308,8 +312,7 @@ def eval_crossmodal_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.transform("e", lambda x: x / F.col("nrm")).alias("ue"),
         )
-        .localCheckpoint()  # both towers consume the lambda pass
-    )
+    )  # no barrier: each tower's parity filter pushes below the lambdas
     q = u.filter(
         (F.col("vec_id") % _CM_MOD == 0) & (F.col("vec_id") < _CM_CAP)
     ).select(F.col("vec_id").alias("query_id"), F.col("ue").alias("q_ue"))
