@@ -217,7 +217,10 @@ _DRIVER_WINDOW = [
     "dedup_jaccard_capped",
     "doc_fingerprint",
     "embed_normalize",
-    "embed_quantize",
+    # barrier-removal re-pin (r14: checkpoint dropped, output must be
+    # byte-identical — eval_quantized_recall, the other changed audit,
+    # already sits in the window head)
+    "sketch_hll_distinct",
 ]
 
 
