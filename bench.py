@@ -156,6 +156,13 @@ def main() -> None:
     argv = sys.argv[1:]
     if "--round" in argv:
         round_arg = int(argv[argv.index("--round") + 1])
+    # --draw N writes the per-round archive under the IMMUTABLE name
+    # BENCH_FULL_r{R}_draw{N}.json instead of BENCH_FULL_r{R}.json, so a
+    # builder's clean draws can never be clobbered by the driver's own
+    # closing run (which owns the plain name) — r14 verdict ask #5.
+    draw_arg: int | None = None
+    if "--draw" in argv:
+        draw_arg = int(argv[argv.index("--draw") + 1])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -410,9 +417,12 @@ def main() -> None:
             if (m := re.match(r"BENCH_r(\d+)\.json$", f))
         ]
         this_round = (max(rounds) + 1) if rounds else 1
-    with open(
-        os.path.join(repo, f"BENCH_FULL_r{this_round:02d}.json"), "w"
-    ) as fh:
+    archive = (
+        f"BENCH_FULL_r{this_round:02d}.json"
+        if draw_arg is None
+        else f"BENCH_FULL_r{this_round:02d}_draw{draw_arg}.json"
+    )
+    with open(os.path.join(repo, archive), "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
     spark.stop()
     # The short machine-readable line goes LAST so a bounded tail capture

@@ -525,34 +525,24 @@ def keep_first_after_pairs(df: DataFrame, pairs: DataFrame, id_col: str) -> Data
     return df.join(drop, on=id_col, how="left_anti")
 
 
-def simhash_pairs_md5(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    max_hamming: int = 3,
+def _simhash_fp_md5(
+    df: DataFrame, id_col: str, text_col: str, bits: int
 ) -> DataFrame:
-    """SimHash near-dup pairs with ENGINE-PORTABLE hashing: the word hash
-    is the first 32 bits of md5(word) (conv of the leading 8 hex chars),
-    so — unlike the xxhash64 path above — the fingerprint, the pigeonhole
-    blocks, and the candidate set are all reproducible by any engine and
-    the query carries a full DuckDB oracle.
-
-    32-bit fingerprints in 4 blocks of 8: complete for hamming <= 3 by
-    pigeonhole, random block-collision rate 2^-8. Same dataflow shape as
-    simhash_pairs (occurrence-level ±1 contributions, (doc, bit) sums,
-    block equi-join — never all-pairs); md5+conv costs ~2-3× the xxhash64
-    intrinsic and 32 bits discriminate less than 63, so at 100 TB run the
-    xxhash path and keep this as the verifiable twin."""
-    bits, blocks = 32, 4
-    width = bits // blocks
-    mask = (1 << width) - 1
+    """Engine-portable SimHash fingerprint frame (doc, fingerprint):
+    word hash = first `bits` bits of md5(word), occurrence-level ±1 bit
+    contributions, sign of the per-bit sums packed into a BIGINT. Shared
+    by simhash_pairs_md5 (single-block candidates, the frozen 32-bit
+    pin) and simhash_pairs_md5_combo (block-combination candidates, the
+    scale shape). localCheckpoint: the fp frame feeds both sides of a
+    self-join plus the hamming verify."""
+    assert bits % 4 == 0 and bits <= 60, bits  # conv needs <= 15 hex chars
     words = widen_narrow_scan(df).select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.col(text_col), " ")).alias("word"),
     )
     wh = words.select(
         "doc",
-        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10)
+        F.conv(F.substring(F.md5("word"), 1, bits // 4), 16, 10)
         .cast("bigint")
         .alias("wh"),
     )
@@ -568,7 +558,7 @@ def simhash_pairs_md5(
         ).alias("bit", "c"),
     )
     bit_sums = contrib.groupBy("doc", "bit").agg(F.sum("c").alias("s"))
-    fp = (
+    return (
         bit_sums.groupBy("doc")
         .agg(
             F.sum(
@@ -580,6 +570,120 @@ def simhash_pairs_md5(
         )
         .localCheckpoint()
     )
+
+
+def simhash_pairs_md5_combo(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 60,
+    blocks: int = 6,
+) -> DataFrame:
+    """SimHash near-dup pairs with BLOCK-COMBINATION candidate keys —
+    the published at-scale shape (Manku et al., Detecting Near-
+    Duplicates for Web Crawling): split the fingerprint into `blocks`
+    blocks and key candidates on every (blocks - max_hamming)-subset of
+    block values, so a colliding key carries (blocks - max_hamming) *
+    width bits instead of one block's width. Pigeonhole-complete: a
+    pair at hamming <= max_hamming differs in <= max_hamming blocks, so
+    some (blocks - max_hamming)-subset of blocks is identical in both.
+
+    With the defaults (60-bit fp, 6 blocks of 10, key = a block TRIPLE
+    = 30 bits, C(6,3) = 20 tables) the random candidate-collision rate
+    is n²·20/2^30 vs n²·4/2^15 for the single-block 4x15 shape — the
+    r15 ensemble probe measured the difference as the super-linear term
+    in the 100x row. Row cost is 20 small rows per doc — linear.
+
+    The FINAL pair set is blocking-independent (candidates are verified
+    by exact bit_count(xor) <= max_hamming), so any consumer's oracle
+    can pin the semantics as the plain hamming relation."""
+    from itertools import combinations
+
+    assert bits % blocks == 0, (bits, blocks)
+    width = bits // blocks
+    mask = (1 << width) - 1
+    keep = blocks - max_hamming
+    assert keep >= 1, (blocks, max_hamming)
+    fp = _simhash_fp_md5(df, id_col, text_col, bits)
+    combos = list(combinations(range(blocks), keep))
+    # pack each combo's block values into ONE bigint key (width*keep
+    # bits) — an equi-join column, engine-portable integer arithmetic
+    keyed = fp.select(
+        "doc",
+        "fingerprint",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("combo_idx"),
+                        sum(
+                            (
+                                F.shiftright(
+                                    F.col("fingerprint"), bi * width
+                                ).bitwiseAND(F.lit(mask))
+                                * (1 << (width * pos))
+                            )
+                            for pos, bi in enumerate(combo)
+                        ).alias("key"),
+                    )
+                    for ci, combo in enumerate(combos)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc", "fingerprint", "ck.combo_idx", "ck.key")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.combo_idx") == F.col("b.combo_idx"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.fingerprint").alias("fp_a"),
+            F.col("b.fingerprint").alias("fp_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash near-dup pairs with ENGINE-PORTABLE hashing: the word hash
+    is the first `bits` bits of md5(word) (conv of the leading bits/4 hex
+    chars), so — unlike the xxhash64 path above — the fingerprint, the
+    pigeonhole blocks, and the candidate set are all reproducible by any
+    engine and the query carries a full DuckDB oracle.
+
+    `bits`-bit fingerprints in 4 blocks of bits/4: complete for
+    hamming <= 3 by pigeonhole, random block-collision rate 2^-(bits/4).
+    The default 32/4x8 is dedup_simhash_md5's frozen semantics pin; its
+    1024-bucket block space saturates beyond ~10^5 docs (candidate
+    pairs go quadratic — measured in the r15 ensemble probe), so scale
+    consumers use simhash_pairs_md5_combo above (block-combination
+    keys, 2^30 key space). Same dataflow as simhash_pairs (occurrence-
+    level ±1 contributions, (doc, bit) sums, block equi-join — never
+    all-pairs); md5+conv costs ~2-3× the xxhash64 intrinsic, so at
+    100 TB run the xxhash path and keep this as the verifiable twin."""
+    blocks = 4
+    width = bits // blocks
+    mask = (1 << width) - 1
+    fp = _simhash_fp_md5(df, id_col, text_col, bits)
     blocked = fp.select(
         "doc",
         "fingerprint",

@@ -79,6 +79,34 @@ def brute_force_topk(
     )
 
 
+def exact_centroid_arrays(c: DataFrame, partition_col: str = "label") -> DataFrame:
+    """Exact fixed-point per-partition centroids over a `with_norm`-style
+    frame (needs `_vec`): per-dim SUM of floor(x·1e6) reduced exactly in
+    BIGINT, one double division at the end — the engine-reproducible
+    coarse quantizer shared by sim_topk_ivf_exact and the wave20
+    SemDeDup prune. Returns (pt, c_vec, c_norm); tiny (one row per
+    partition value) → always broadcast by consumers."""
+    exploded = c.select(
+        F.col(partition_col).alias("pt"), F.posexplode("_vec").alias("pos", "val")
+    )
+    per_dim = exploded.groupBy("pt", "pos").agg(
+        F.sum(F.floor(F.col("val") * 1e6).cast("bigint")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    per_dim = per_dim.withColumn(
+        "cval",
+        F.col("s").cast("double") / (F.lit(1000000) * F.col("n")).cast("double"),
+    )
+    return (
+        per_dim.groupBy("pt")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
+        .select(
+            "pt", F.transform("pairs", lambda s: s.getField("cval")).alias("c_vec")
+        )
+        .withColumn("c_norm", F.sqrt(_dot(F.col("c_vec"), F.col("c_vec"))))
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -116,29 +144,23 @@ def ivf_topk(
 
     # Coarse quantizer: mean embedding per partition (array-wise avg via
     # posexplode + groupBy — scalable, no collect).
-    exploded = c.select(
-        F.col(partition_col).alias("pt"), F.posexplode("_vec").alias("pos", "val")
-    )
     if exact_centroids:
-        per_dim = exploded.groupBy("pt", "pos").agg(
-            F.sum(F.floor(F.col("val") * 1e6).cast("bigint")).alias("s"),
-            F.count("*").alias("n"),
-        )
-        per_dim = per_dim.withColumn(
-            "cval",
-            F.col("s").cast("double")
-            / (F.lit(1000000) * F.col("n")).cast("double"),
-        )
+        centroid_arrays = exact_centroid_arrays(c, partition_col)
     else:
-        per_dim = exploded.groupBy("pt", "pos").agg(F.avg("val").alias("cval"))
-    centroid_arrays = (
-        per_dim.groupBy("pt")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
-        .select(
-            "pt", F.transform("pairs", lambda s: s.getField("cval")).alias("c_vec")
+        exploded = c.select(
+            F.col(partition_col).alias("pt"),
+            F.posexplode("_vec").alias("pos", "val"),
         )
-        .withColumn("c_norm", F.sqrt(_dot(F.col("c_vec"), F.col("c_vec"))))
-    )
+        per_dim = exploded.groupBy("pt", "pos").agg(F.avg("val").alias("cval"))
+        centroid_arrays = (
+            per_dim.groupBy("pt")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
+            .select(
+                "pt",
+                F.transform("pairs", lambda s: s.getField("cval")).alias("c_vec"),
+            )
+            .withColumn("c_norm", F.sqrt(_dot(F.col("c_vec"), F.col("c_vec"))))
+        )
 
     c_sim = cosine(
         F.col("q_vec"), F.col("q_norm"), F.col("c_vec"), F.col("c_norm")

@@ -135,6 +135,7 @@ from etl_caic_spark.plans import wave18a  # noqa: F401,E402
 from etl_caic_spark.plans import wave18b  # noqa: F401,E402
 from etl_caic_spark.plans import wave18c  # noqa: F401,E402
 from etl_caic_spark.plans import wave19a  # noqa: F401,E402
+from etl_caic_spark.plans import wave20a  # noqa: F401,E402
 
 # Round-14 rotation (r13 verdict ask #1): the window head is the 8
 # round-13 additions (wave18a/b/c) that have no driver CORRECTNESS row
@@ -154,29 +155,33 @@ from etl_caic_spark.plans import wave19a  # noqa: F401,E402
 # era not refreshed in r13, plus the oldest r04 picks) as regression
 # canaries.
 #
-# ROUND-15 NOTE: wave19+ additions cannot fit this window — pre-verify
-# them via filtered driver_sim, record the green runs in SCALE.md r14,
-# and pin them as the r15 window head so the never-verified pool never
-# regrows past one round.
-# r15 window head (wave19a, all pre-verified hash-green via filtered
-# driver_sim — green runs + probes in SCALE.md r14):
-#   dedup_gram50_exact quality_fasttext_linear
-#   eval_crossmodal_recall eval_reward_margin
+# ROUND-15 WINDOW: head = the 4 wave19a names (added r14, pre-verified
+# hash-green then but still without a driver CORRECTNESS row — r14
+# verdict ask #1), then the 4 wave20a additions (added THIS round and
+# pre-verified hash-green via filtered driver_sim in-round, so the
+# never-driver-verified pool closes to ZERO at r15 end instead of
+# rolling forward), then the r15 re-shapes/refactors, the rows-only
+# family (re-confirmed every rotation), and the 33 oldest-verified
+# names (every remaining name last verified in r04) as regression
+# canaries.
 _DRIVER_WINDOW = [
-    # round-13 additions, never driver-verified (8)
-    "text_decontaminate_ngrams",
-    "eval_lsh_threshold_sweep",
-    "text_bpe_encode",
-    "eval_quantized_recall",
-    "corpus_tokenize_pack_shard",
-    "eval_contamination_report",
-    "text_tokenizer_parity",
-    "ts_dtw_band",
-    # consumers of the r14-changed connected-components gate (4)
-    "dedup_groups",
-    "corpus_curation_pipeline",
-    "link_entity_resolution",
-    "geo_dbscan_core",
+    # round-14 additions, never driver-verified (4) — r14 verdict ask #1
+    "dedup_gram50_exact",
+    "quality_fasttext_linear",
+    "eval_crossmodal_recall",
+    "eval_reward_margin",
+    # round-15 additions (wave20a), pre-verified hash-green in-round (4)
+    "dedup_semdedup_prune",
+    "text_langid_chargram",
+    "data_doremi_reweight",
+    "dedup_ensemble_agreement",
+    # changed shape this round: md5-band sample bound moved INTO the
+    # exact-truth leg (r14 verdict ask #2) — re-verified at new shape
+    "eval_minhash_quality",
+    # exact-centroid construction extracted to a shared operator
+    # (operators/similarity.exact_centroid_arrays) — output must be
+    # byte-identical; re-pinned to prove it
+    "sim_topk_ivf_exact",
     # rows-only approx family, re-confirmed every rotation (7)
     "agg_approx_distinct",
     "agg_approx_quantile",
@@ -185,42 +190,42 @@ _DRIVER_WINDOW = [
     "dedup_simhash",
     "sim_topk_ivf",
     "sim_topk_ivf_kmeans",
-    # oldest-verified regression canaries: r01-era not in the r13
-    # refresh (21), the r03 era (4), and the oldest r04 picks (6)
-    "agg_least_ordinal",
-    "dedup_ngram_jaccard",
-    "explode_pos",
-    "fn_conditional",
-    "fn_date",
-    "fn_map_lookup",
-    "fn_math",
-    "fn_string",
-    "fn_urlencode",
-    "json_decode_lenient",
-    "json_decode_strict",
-    "json_extract_props",
-    "set_except",
-    "set_intersect",
-    "set_union_distinct",
-    "sim_topk_cosine",
-    "win_lag_lead",
-    "win_moving_avg",
-    "win_rank",
-    "win_running_sum",
-    "win_topk_per_group",
-    "dedup_fuzzy_levenshtein",
-    "sink_csv_roundtrip",
-    "sink_jsonl_roundtrip",
-    "sink_orc_roundtrip",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_jaccard_capped",
-    "doc_fingerprint",
-    "embed_normalize",
-    # barrier-removal re-pin (r14: checkpoint dropped, output must be
-    # byte-identical — eval_quantized_recall, the other changed audit,
-    # already sits in the window head)
-    "sketch_hll_distinct",
+    # oldest-verified regression canaries (33): every name below was
+    # last driver-verified in round 4 (computed from the
+    # CORRECTNESS_r01..r14 union) — the entire remaining r04 cohort
+    "embed_quantize",
+    "fn_array",
+    "fn_array_setops",
+    "fn_higher_order",
+    "join_asof",
+    "join_runtime_bloom",
+    "lang_id",
+    "multimodal_audio",
+    "multimodal_decode",
+    "multimodal_meta",
+    "multimodal_png_codec",
+    "multimodal_png_frames",
+    "multimodal_resize",
+    "multimodal_wav_codec",
+    "scd_upsert",
+    "sink_file_roundtrip",
+    "stream_session",
+    "stream_sliding",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_tumbling",
+    "stream_watermark",
+    "synthetic_source",
+    "text_chunks",
+    "text_contamination",
+    "text_pack_sequences",
+    "text_quality",
+    "text_quality_filter",
+    "text_redact_pii",
+    "text_stats",
+    "text_tfidf",
+    "text_tfidf_capped",
+    "token_count",
 ]
 
 

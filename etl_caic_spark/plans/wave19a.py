@@ -76,6 +76,30 @@ _G50_SQL = f"""
 """
 
 
+def gram50_dup_counts(d: DataFrame) -> DataFrame:
+    """Per-document {_G50_N}-gram counts (n_grams, n_dup_grams) over any
+    (doc_id, text) frame — the shared gram pipeline of
+    dedup_gram50_exact and dedup_ensemble_agreement (wave20a.py):
+    md5-keyed grams, document frequency as ONE window over the gram
+    partitioning, map-side-combined doc aggregate."""
+    g = widen_narrow_scan(d).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                D.word_shingles(F.col("text"), _G50_N), lambda s: F.md5(s)
+            )
+        ).alias("gh"),
+    )
+    dfw = Window.partitionBy("gh")
+    tagged = g.withColumn("df", F.count("*").over(dfw))
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_grams"),
+    )
+
+
 @register(
     "dedup_gram50_exact",
     oracle=_G50_SQL,
@@ -90,7 +114,8 @@ def dedup_gram50_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_G50_N} words contribute their full text as the one gram
     (word_shingles semantics), so short exact dupes still flag — the
     same guarantee dedup_exact gives, extended into long verbatim spans
-    inside otherwise-distinct documents.
+    inside otherwise-distinct documents. The gram pipeline is shared
+    with dedup_ensemble_agreement (wave20a.py) via gram50_dup_counts.
 
     Plan shape: grams are keyed by md5 BEFORE the shuffle, so the
     exchange moves 32-byte digests instead of ~300-byte 50-word
@@ -105,22 +130,7 @@ def dedup_gram50_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is what makes the exact recipe corpus-linear where pairwise
     Jaccard is not)."""
     d = load_table(spark, sf_dir, "documents")
-    g = widen_narrow_scan(d).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                D.word_shingles(F.col("text"), _G50_N), lambda s: F.md5(s)
-            )
-        ).alias("gh"),
-    )
-    dfw = Window.partitionBy("gh")
-    tagged = g.withColumn("df", F.count("*").over(dfw))
-    per = tagged.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_grams"),
-        F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_dup_grams"),
-    )
+    per = gram50_dup_counts(d)
     return per.filter(F.col("n_dup_grams") > 0).select(
         "doc_id",
         "n_grams",
@@ -144,7 +154,15 @@ def linear_word_weight(w: Column) -> Column:
     codepoint hash (acc*31 + code, mod 2^20 — the doc_fingerprint hash
     family, expressible identically in DuckDB via list_reduce) mapped
     onto [-1000, 1000]. Stands in for a learned fastText weight table:
-    the scoring PLAN is identical, only the table's provenance differs."""
+    the scoring PLAN is identical, only the table's provenance differs.
+
+    ASCII contract (r14 verdict hygiene note): the per-char code is
+    Spark ``F.ascii`` ↔ DuckDB ``ord``, which agree on ASCII but
+    diverge on multi-byte codepoints (ascii returns the first BYTE of
+    the UTF-8 encoding, ord the CODEPOINT). The fixture corpus is pure
+    ASCII (hash-proven); on non-ASCII corpora, normalize first (e.g.
+    a dedup_normalized_exact-style ascii-fold) or swap in a byte-wise
+    hash — the weight-table lookup plan is unchanged either way."""
     codes = F.transform(F.split(w, ""), lambda c: F.ascii(c).cast("bigint"))
     h = F.aggregate(
         codes,
@@ -398,7 +416,12 @@ def eval_reward_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_fasttext_linear, so the whole audit is one corpus scan +
     two broadcast hash joins. int64 bounds: |tw| <= 1000*nw, so the
     cross product is < 1000 * nw_c * nw_r — safe to ~3e7-word
-    documents, far past any real document."""
+    documents, far past any real document.
+
+    ASCII contract: the scorer inherits linear_word_weight's
+    ``F.ascii`` ↔ ``ord`` portability bound — exact on ASCII corpora
+    (the fixture is pure ASCII, hash-proven); normalize non-ASCII text
+    upstream (see linear_word_weight's docstring)."""
     from etl_caic_spark.plans.wave15a import data_dpo_pairs
 
     pairs = data_dpo_pairs(spark, sf_dir)
