@@ -451,6 +451,37 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level groupBy, then a 20-row rollup. At 100 TB the explode is
     the only token-grain shuffle; everything else is map-side."""
     d = load_table(spark, sf_dir, "documents")
+    rules = gopher_doc_flags(d).drop("doc_id")
+    return rules.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("f_wc").cast("bigint").alias("n_fail_wordcount"),
+        F.sum("f_mwl").cast("bigint").alias("n_fail_meanwordlen"),
+        F.sum("f_stop").cast("bigint").alias("n_fail_stopwords"),
+        F.sum("f_top").cast("bigint").alias("n_fail_topword"),
+        F.sum("f_dup2").cast("bigint").alias("n_fail_dupbigram"),
+        F.sum(
+            F.when(
+                F.col("f_wc")
+                + F.col("f_mwl")
+                + F.col("f_stop")
+                + F.col("f_top")
+                + F.col("f_dup2")
+                == 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_pass"),
+    )
+
+
+def gopher_doc_flags(d: DataFrame) -> DataFrame:
+    """Per-document Gopher rule flags (doc_id, source, f_wc, f_mwl,
+    f_stop, f_top, f_dup2; 0 = pass) over any (doc_id, source, text)
+    frame — the shared rule pipeline of quality_gopher_rules (source
+    rollup) and quality_ensemble_gate (wave21a.py, per-doc gate), so
+    the two can never drift apart (the r12 minhash-sharing precedent).
+    """
     toks = d.select("doc_id", "source", F.split("text", " ").alias("l"))
     stops = ",".join(f"'{s}'" for s in _STOPS)
     hof = toks.select(
@@ -480,7 +511,8 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("c").cast("bigint").alias("mx"))
     )
-    rules = hof.join(topw, "doc_id").select(
+    return hof.join(topw, "doc_id").select(
+        "doc_id",
         "source",
         F.when(F.col("n").between(35, 95), 0).otherwise(1).alias("f_wc"),
         F.when(
@@ -495,25 +527,4 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.col("nb") - F.col("nbd")) * 20 <= F.col("nb"), 0)
         .otherwise(1)
         .alias("f_dup2"),
-    )
-    return rules.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("f_wc").cast("bigint").alias("n_fail_wordcount"),
-        F.sum("f_mwl").cast("bigint").alias("n_fail_meanwordlen"),
-        F.sum("f_stop").cast("bigint").alias("n_fail_stopwords"),
-        F.sum("f_top").cast("bigint").alias("n_fail_topword"),
-        F.sum("f_dup2").cast("bigint").alias("n_fail_dupbigram"),
-        F.sum(
-            F.when(
-                F.col("f_wc")
-                + F.col("f_mwl")
-                + F.col("f_stop")
-                + F.col("f_top")
-                + F.col("f_dup2")
-                == 0,
-                1,
-            ).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("n_pass"),
     )

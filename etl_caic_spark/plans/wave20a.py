@@ -280,6 +280,73 @@ _LID_SQL = f"""
 """
 
 
+def langid_scored(d: DataFrame) -> DataFrame:
+    """(doc_id, declared_lang, s_de..s_zh) under the frozen char-trigram
+    tables, over any (doc_id, lang, text) frame — the shared scoring
+    pipeline of text_langid_chargram and quality_ensemble_gate
+    (wave21a.py). Two measured HOF-interpretation hazards are designed
+    around here: the codepoint array is materialized as a REAL
+    projection column before the positional lambda references it (an
+    expression captured inside a higher-order lambda is NOT hoisted as
+    loop-invariant, so an inline `cs` re-evaluates per position —
+    measured 9x: 7.5 s vs 0.8 s warm at sf0.1), and the five weight
+    tables fold in ONE aggregate pass with a 5-field struct accumulator
+    instead of five passes (each pass pays per-element interpreted
+    dispatch — HOF lambdas are not whole-stage-codegened)."""
+    cs_expr = F.transform(
+        F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("bigint")
+    )
+    base = widen_narrow_scan(d).select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        F.length(F.col("text")).alias("n"),
+        cs_expr.alias("cs"),
+    )
+    cs = F.col("cs")
+    n = F.col("n")
+    ghs = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: (
+                (F.get(cs, i - 1) * 31 + F.get(cs, i)) * 31 + F.get(cs, i + 1)
+            )
+            % _LID_BUCKETS,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    scored = base.select("doc_id", "declared_lang", ghs.alias("ghs"))
+    zero = F.struct(
+        *[F.lit(0).cast("bigint").alias(f"s_{lang}") for lang, _ in _LID_SALTS]
+    )
+    tot = F.aggregate(
+        F.col("ghs"),
+        zero,
+        lambda acc, g: F.struct(
+            *[
+                (acc[f"s_{lang}"] + ((g * salt) % _LID_SPAN - 1001)).alias(
+                    f"s_{lang}"
+                )
+                for lang, salt in _LID_SALTS
+            ]
+        ),
+    )
+    return scored.select(
+        "doc_id",
+        "declared_lang",
+        *[tot[f"s_{lang}"].alias(f"s_{lang}") for lang, _ in _LID_SALTS],
+    )
+
+
+def langid_predicted():
+    """Arg-max prediction Column over s_de..s_zh with the fixed
+    de<en<es<fr<zh tie order (the lang_id precedent)."""
+    best = F.greatest(*[F.col(f"s_{lang}") for lang, _ in _LID_SALTS])
+    pred = F.when(F.col("s_de") == best, "de")
+    for lang in ("en", "es", "fr"):
+        pred = pred.when(F.col(f"s_{lang}") == best, lang)
+    return pred.otherwise("zh")
+
+
 @register("text_langid_chargram", oracle=_LID_SQL, tags=("text", "quality", "llm"))
 def text_langid_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frozen char-trigram language-ID gate: every character trigram of
@@ -311,61 +378,8 @@ def text_langid_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of five (each pass pays per-element interpreted dispatch —
     HOF lambdas are not whole-stage-codegened)."""
     d = load_table(spark, sf_dir, "documents")
-    # Materialize the codepoint array as a REAL projection column before
-    # the positional lambda references it: an expression captured inside
-    # a higher-order lambda is NOT hoisted as loop-invariant, so an
-    # inline `cs` would re-evaluate per position.
-    cs_expr = F.transform(
-        F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("bigint")
-    )
-    base = widen_narrow_scan(d).select(
-        "doc_id",
-        F.col("lang").alias("declared_lang"),
-        F.length(F.col("text")).alias("n"),
-        cs_expr.alias("cs"),
-    )
-    cs = F.col("cs")
-    n = F.col("n")
-    ghs = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: (
-                (F.get(cs, i - 1) * 31 + F.get(cs, i)) * 31 + F.get(cs, i + 1)
-            )
-            % _LID_BUCKETS,
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    scored = base.select("doc_id", "declared_lang", ghs.alias("ghs"))
-    # ONE aggregate pass with a 5-field struct accumulator: higher-order
-    # lambdas are interpreted per element, so five separate F.aggregate
-    # passes over the gram array cost ~5x the dispatches (measured 8.3 s
-    # vs ~2.5 s at sf0.1) — fold all five weight tables into one fold.
-    zero = F.struct(
-        *[F.lit(0).cast("bigint").alias(f"s_{lang}") for lang, _ in _LID_SALTS]
-    )
-    tot = F.aggregate(
-        F.col("ghs"),
-        zero,
-        lambda acc, g: F.struct(
-            *[
-                (acc[f"s_{lang}"] + ((g * salt) % _LID_SPAN - 1001)).alias(
-                    f"s_{lang}"
-                )
-                for lang, salt in _LID_SALTS
-            ]
-        ),
-    )
-    s = scored.select(
-        "doc_id",
-        "declared_lang",
-        *[tot[f"s_{lang}"].alias(f"s_{lang}") for lang, _ in _LID_SALTS],
-    )
-    best = F.greatest(*[F.col(f"s_{lang}") for lang, _ in _LID_SALTS])
-    pred = F.when(F.col("s_de") == best, "de")
-    for lang in ("en", "es", "fr"):
-        pred = pred.when(F.col(f"s_{lang}") == best, lang)
-    pred = pred.otherwise("zh")
+    s = langid_scored(d)
+    pred = langid_predicted()
     return s.select(
         "doc_id",
         "declared_lang",
