@@ -137,6 +137,7 @@ from etl_caic_spark.plans import wave18c  # noqa: F401,E402
 from etl_caic_spark.plans import wave19a  # noqa: F401,E402
 from etl_caic_spark.plans import wave20a  # noqa: F401,E402
 from etl_caic_spark.plans import wave21a  # noqa: F401,E402
+from etl_caic_spark.plans import wave22a  # noqa: F401,E402
 
 # Round-14 rotation (r13 verdict ask #1): the window head is the 8
 # round-13 additions (wave18a/b/c) that have no driver CORRECTNESS row
@@ -157,10 +158,12 @@ from etl_caic_spark.plans import wave21a  # noqa: F401,E402
 # canaries.
 #
 # ROUND-16 NOTE: the wave21a additions (quality_ensemble_gate,
-# eval_semdedup_agreement, data_rho_selection) cannot fit this window —
-# all 3 pre-verified hash-green via filtered driver_sim in r15 (green
-# runs + probes in SCALE.md r15) — pin them as the r16 window head so
-# the never-driver-verified pool never regrows past one round. Also
+# eval_semdedup_agreement, data_rho_selection) and the wave22a
+# additions (text_exactsubstr_removal, data_d4_prototype_prune,
+# eval_bt_strength) cannot fit this window — all 6 pre-verified
+# hash-green via filtered driver_sim in r15 (green runs + probes in
+# SCALE.md r15) — pin them as the r16 window head so the
+# never-driver-verified pool never regrows past one round. Also
 # carry forward: quality_gopher_rules (gopher_doc_flags extraction,
 # r15 — hash-green at the refactored shape in-round, re-pin to prove
 # byte-identity in a driver artifact).
