@@ -428,10 +428,17 @@ def lakehouse_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = scratch_path("lakehouse_orders")
     src = load_table(spark, sf_dir, "orders")
-    for i in range(8):
-        src.filter(F.col("o_orderkey") % 8 == i).write.mode("overwrite").parquet(
-            os.path.join(base, f"f{i}")
-        )
+    # r15 optimization: one partitioned write replaces 8 sequential
+    # filtered writes (lakehouse2q.write_banded_layout); per-file row
+    # sets identical.
+    from etl_caic_spark.plans.lakehouse2q import write_banded_layout
+
+    write_banded_layout(
+        src,
+        F.format_string("f%d", (F.col("o_orderkey") % 8).cast("int")),
+        base,
+        8,
+    )
     log = spark.createDataFrame(
         [(1, "add", f"f{i}") for i in range(6)]
         + [(2, "add", "f6"), (2, "add", "f7"), (2, "remove", "f1")]
@@ -485,10 +492,17 @@ def lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = scratch_path("lakehouse_orders_tt")
     src = load_table(spark, sf_dir, "orders")
-    for i in range(8):
-        src.filter(F.col("o_orderkey") % 8 == i).write.mode("overwrite").parquet(
-            os.path.join(base, f"f{i}")
-        )
+    # r15 optimization: one partitioned write replaces 8 sequential
+    # filtered writes (lakehouse2q.write_banded_layout); per-file row
+    # sets identical.
+    from etl_caic_spark.plans.lakehouse2q import write_banded_layout
+
+    write_banded_layout(
+        src,
+        F.format_string("f%d", (F.col("o_orderkey") % 8).cast("int")),
+        base,
+        8,
+    )
     log = spark.createDataFrame(
         [(1, "add", f"f{i}") for i in range(6)]
         + [(2, "add", "f6"), (2, "add", "f7"), (2, "remove", "f1")]

@@ -27,6 +27,43 @@ from etl_caic_spark.util import scratch_path
 _BAND = 62_500
 
 
+def write_banded_layout(
+    src: DataFrame,
+    file_col,
+    base: str,
+    n_files: int,
+    sort_col: str | None = None,
+) -> None:
+    """ONE partitioned write of the n-file immutable layout (r15
+    optimization): the lakehouse fixtures previously materialized their
+    f0..f{{n-1}} files as n SEQUENTIAL filtered scans + writes (plus, in
+    stats_skipping, n more min/max jobs) — 2n full-table jobs of pure
+    fixture setup per query. A single dynamic-partition write produces
+    byte-identical per-file row sets in one job (each scan task streams
+    every band to its own directory; no shuffle added unless a sort is
+    requested). Directories are renamed from the writer's `__f=fi` form
+    to the bare `fi` names the log-replay/vacuum/DV code addresses, so
+    every consumer path stays unchanged. `file_col` must be a string
+    column with exactly the values f0..f{{n-1}}; the rename asserts all
+    n landed (an empty band would silently drop a file — fail loudly
+    instead)."""
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    df = src.withColumn("__f", file_col)
+    if sort_col is not None:
+        df = df.repartition(n_files, "__f").sortWithinPartitions(
+            "__f", sort_col
+        )
+    df.write.mode("overwrite").partitionBy("__f").parquet(base)
+    seen = set()
+    for d in os.listdir(base):
+        if d.startswith("__f="):
+            os.rename(os.path.join(base, d), os.path.join(base, d[4:]))
+            seen.add(d[4:])
+    assert seen == {f"f{i}" for i in range(n_files)}, sorted(seen)
+
+
 @register(
     "lakehouse_stats_skipping",
     oracle="""
@@ -57,15 +94,18 @@ def lakehouse_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_path("lakehouse_stats_orders")
     src = load_table(spark, sf_dir, "orders")
     band = F.least(F.floor(F.col("o_totalprice") / _BAND), F.lit(7)).cast("int")
-    stats_rows = []
-    for i in range(8):
-        part = src.filter(band == i)
-        path = os.path.join(base, f"f{i}")
-        part.write.mode("overwrite").parquet(path)
-        mn, mx = part.agg(
-            F.min("o_totalprice"), F.max("o_totalprice")
-        ).first()
-        stats_rows.append((f"f{i}", float(mn), float(mx)))
+    # r15 optimization: one partitioned write + ONE grouped min/max pass
+    # replace 8 filtered writes + 8 stats jobs (write_banded_layout);
+    # stats values and per-file row sets are byte-identical.
+    write_banded_layout(src, F.format_string("f%d", band), base, 8)
+    stats_rows = sorted(
+        (r["f"], float(r["mn"]), float(r["mx"]))
+        for r in src.groupBy(F.format_string("f%d", band).alias("f"))
+        .agg(
+            F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+        )
+        .collect()
+    )
     lo, hi = 150_000.0, 220_000.0
     live = [
         os.path.join(base, f)
@@ -122,13 +162,17 @@ def lakehouse_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational statement of that bitmap filter."""
     base = scratch_path("lakehouse_dv_orders")
     src = load_table(spark, sf_dir, "orders")
-    for i in range(4):
-        (
-            src.filter(F.col("o_orderkey") % 4 == i)
-            .orderBy("o_orderkey")
-            .write.mode("overwrite")
-            .parquet(os.path.join(base, f"f{i}"))
-        )
+    # r15 optimization: one sorted partitioned write replaces 4
+    # sequential filtered+sorted writes (write_banded_layout). Files
+    # stay sorted by o_orderkey within each band, and positions are
+    # re-derived by the window below either way — output identical.
+    write_banded_layout(
+        src,
+        F.format_string("f%d", (F.col("o_orderkey") % 4).cast("int")),
+        base,
+        4,
+        sort_col="o_orderkey",
+    )
     from pyspark.sql import Window
 
     def with_pos(df: DataFrame, fname: str) -> DataFrame:
@@ -189,10 +233,14 @@ def lakehouse_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = scratch_path("lakehouse_vacuum_orders")
     src = load_table(spark, sf_dir, "orders")
-    for i in range(8):
-        src.filter(F.col("o_orderkey") % 8 == i).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(base, f"f{i}"))
+    # r15 optimization: one partitioned write replaces 8 sequential
+    # filtered writes (write_banded_layout); per-file row sets identical.
+    write_banded_layout(
+        src,
+        F.format_string("f%d", (F.col("o_orderkey") % 8).cast("int")),
+        base,
+        8,
+    )
     log = spark.createDataFrame(
         [(1, "add", f"f{i}") for i in range(6)]
         + [(2, "add", "f6"), (2, "add", "f7"), (2, "remove", "f1")]

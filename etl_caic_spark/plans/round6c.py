@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 from etl_caic_spark.operators.hashmix import md5_words, md5_words_sql, mix
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
+from etl_caic_spark.util import widen_narrow_scan
 
 
 @register(
@@ -358,13 +359,22 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass (map-side partial -> single combined row), unpivoted to 20
     rows afterwards. Shuffle volume is one row per partition
     regardless of input size."""
-    x = load_table(spark, sf_dir, "lineitem").select(
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
-        F.concat(
-            F.col("l_orderkey").cast("string"),
-            F.lit("-"),
-            F.col("l_linenumber").cast("string"),
-        ).alias("rk"),
+    # widen_narrow_scan (r15 optimization): the sf0.1 lineitem scan
+    # arrives as 3 input partitions, so the md5 + 20-replicate mixer
+    # ladder (the query's whole compute) ran on 3 of 32 cores — the
+    # same narrow-scan hazard as the shingle explodes. Round-robin the
+    # ~20 MB of narrow base rows first; the heavy expressions evaluate
+    # in the partial-agg stage above the exchange, at full width.
+    # Result-identical: the replicate sums are order-independent.
+    x = widen_narrow_scan(
+        load_table(spark, sf_dir, "lineitem").select(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit("-"),
+                F.col("l_linenumber").cast("string"),
+            ).alias("rk"),
+        )
     )
     w1, w2, w3 = md5_words(F.col("rk"), "boot-v2")
     rows = x.select("cents", w1.alias("w1"), w2.alias("w2"), w3.alias("w3"))

@@ -23,6 +23,7 @@ from etl_caic_spark.plans.round6b import (
 from etl_caic_spark.operators.hashmix import md5_words, md5_words_sql, mix
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
+from etl_caic_spark.util import widen_narrow_scan
 
 
 @register(
@@ -383,11 +384,20 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_vec").alias("t_vec"),
         F.col("_norm").alias("t_norm"),
     )
-    train = n.filter(F.col("vec_id") % 10 != 0).select(
-        F.col("vec_id").alias("c_id"),
-        F.col("label").alias("nn_label"),
-        F.col("_vec").alias("c_vec"),
-        F.col("_norm").alias("c_norm"),
+    # widen_narrow_scan (r15 optimization): embeddings.parquet is ONE
+    # file -> ONE partition, so the 360k-pair cosine projection AND the
+    # per-test partial top-5 (Sort + WindowGroupLimit below the first
+    # exchange) ran in a single task. Widening the train side spreads
+    # the whole pre-exchange pipeline across the cluster; the broadcast
+    # test side stays narrow. Result-identical: cosine is per-row and
+    # the top-5 window re-sorts post-shuffle.
+    train = widen_narrow_scan(
+        n.filter(F.col("vec_id") % 10 != 0).select(
+            F.col("vec_id").alias("c_id"),
+            F.col("label").alias("nn_label"),
+            F.col("_vec").alias("c_vec"),
+            F.col("_norm").alias("c_norm"),
+        )
     )
     scored = train.crossJoin(F.broadcast(test)).select(
         F.col("t_id").alias("vec_id"),
@@ -614,7 +624,13 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w1, w2, w3 = md5_words(F.col("rk"), "perm-v2")
-    rows = b.select(
+    # widen_narrow_scan (r15 optimization): same narrow-scan hazard as
+    # stat_bootstrap_ci — the 3-partition lineitem scan serialized the
+    # md5 + 19-replicate mixer ladder onto 3 cores; widening the narrow
+    # base rows moves the heavy expressions above the exchange to full
+    # width. The `tot` aggregate keeps reading the un-widened b (two
+    # trivial scalar sums). Result-identical: order-independent sums.
+    rows = widen_narrow_scan(b).select(
         "q", "in_a", w1.alias("w1"), w2.alias("w2"), w3.alias("w3")
     )
     tot = b.agg(

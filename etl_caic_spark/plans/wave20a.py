@@ -170,12 +170,20 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # localCheckpoint (r15 optimization): `assigned` feeds FOUR
+    # downstream consumers (sizes, the capped-join frame, both pair-join
+    # sides). Unmaterialized, each consumer re-executed the whole
+    # centroid pipeline + broadcast arg-max subtree — the before-plan
+    # shows 36 parquet scans / 82 exchanges; checkpointing the ~2k-row
+    # assignment frame executes the quantizer exactly once (after-plan:
+    # 2 scans). Same shared-subplan pattern as basket_assoc_rules'
+    # items frame; output byte-identical.
     assigned = corpus.crossJoin(F.broadcast(cent_row)).select(
         "vec_id",
         "_vec",
         "_norm",
         (-best.getField("negpt")).cast("int").alias("cl"),
-    )
+    ).localCheckpoint()
     sizes = assigned.groupBy("cl").agg(F.count("*").cast("bigint").alias("csz"))
     fanout = spark.sparkContext.defaultParallelism
     a = assigned.join(F.broadcast(sizes), "cl").repartition(fanout, "cl")

@@ -16,7 +16,9 @@ from pyspark.sql import SparkSession
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod  # noqa: E402
 
-SF_CHECK = "/root/testdata/sf0.01"
+import os
+
+SF_CHECK = os.environ.get("DRIVER_SIM_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
