@@ -447,7 +447,17 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     obs = ev.groupBy("user_id", "h").agg(F.round(F.avg("value"), 6).alias("v"))
     rng = obs.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    grid = rng.select(
+    # r15 optimization: AQE coalesces the tiny per-user (h0, h1) shuffle
+    # to ~1 partition, and everything downstream — the span/grain grid
+    # explode, the gap join, BOTH ignore-nulls window passes — rode that
+    # single partition (observed 1-task stages). An explicit hash
+    # repartition on user_id ahead of the explode spreads the expansion
+    # across the cluster AND already satisfies the windows' required
+    # ClusteredDistribution(user_id), so no extra exchange is added
+    # below. Result-identical: windows sort within each user either way.
+    grid = rng.repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    ).select(
         "user_id",
         F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
     )
