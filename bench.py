@@ -163,12 +163,27 @@ def main() -> None:
     draw_arg: int | None = None
     if "--draw" in argv:
         draw_arg = int(argv[argv.index("--draw") + 1])
+    # --only a,b,c restricts the sweep to the named queries (builder-side
+    # tail probes / scaling probes at a second core count; the driver's
+    # full runs never pass it, so the contract sweep is unchanged).
+    only_arg: set[str] | None = None
+    if "--only" in argv:
+        only_arg = set(argv[argv.index("--only") + 1].split(","))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark(app_name="etl-caic-spark-bench", cpus=cpus)
+    # Echoed in the one-line JSON (r15 verdict: the driver could not tell
+    # "honored but floor-dominated" from "ignored" without it).
+    default_parallelism = spark.sparkContext.defaultParallelism
     specs = all_specs()
+    if only_arg is not None:
+        missing = sorted(only_arg - set(specs))
+        if missing:
+            print(f"bench: --only unknown queries: {missing}", file=sys.stderr)
+            sys.exit(2)
+        specs = {n: s for n, s in specs.items() if n in only_arg}
 
     # JVM/codegen warmup so the alphabetically-first query isn't charged
     # for session spin-up: a trivial job, then one untimed representative
@@ -385,6 +400,8 @@ def main() -> None:
     repo = os.path.dirname(os.path.abspath(__file__))
     payload = {
         "sf": sf,
+        "cpus": cpus,
+        "default_parallelism": default_parallelism,
         "total_sec": total,
         "queries": timings,
         "failed": failed,
@@ -401,7 +418,8 @@ def main() -> None:
             "total_sec": adjusted_total,
         },
     }
-    with open(os.path.join(repo, "BENCH_FULL.json"), "w") as fh:
+    full_name = "BENCH_FULL.json" if only_arg is None else "BENCH_ONLY.json"
+    with open(os.path.join(repo, full_name), "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
     # Also keep a PER-ROUND archive (BENCH_FULL.json is overwritten every
     # run and gitignored, so prior rounds' per-query timings were
@@ -417,13 +435,14 @@ def main() -> None:
             if (m := re.match(r"BENCH_r(\d+)\.json$", f))
         ]
         this_round = (max(rounds) + 1) if rounds else 1
-    archive = (
-        f"BENCH_FULL_r{this_round:02d}.json"
-        if draw_arg is None
-        else f"BENCH_FULL_r{this_round:02d}_draw{draw_arg}.json"
-    )
-    with open(os.path.join(repo, archive), "w") as fh:
-        json.dump(payload, fh, indent=1, sort_keys=True)
+    if only_arg is None:  # a partial --only sweep must never claim an archive
+        archive = (
+            f"BENCH_FULL_r{this_round:02d}.json"
+            if draw_arg is None
+            else f"BENCH_FULL_r{this_round:02d}_draw{draw_arg}.json"
+        )
+        with open(os.path.join(repo, archive), "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
     spark.stop()
     # The short machine-readable line goes LAST so a bounded tail capture
     # always contains it intact.
@@ -437,6 +456,8 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "n_failed": len(failed),
+                "cpus": cpus,
+                "default_parallelism": default_parallelism,
                 "steal_adjusted_total_sec": adjusted_total,
                 "control_base_sec": control_base,
                 "n_inflated_segments": sum(

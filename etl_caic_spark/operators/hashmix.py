@@ -60,7 +60,18 @@ def with_md5_words(df, col: Column, salt: str, keep: list[str]):
     md5 runs exactly once per row. The two-select shape survives the
     optimizer because the alias is referenced 3x (CollapseProject
     declines to merge — the same law as the round-15 HOF-invariant
-    find). Word values are bit-identical to md5_words()."""
+    find). Word values are bit-identical to md5_words().
+
+    Output contract: the result carries exactly keep... + w1, w2, w3
+    (``_h`` is internal). ``keep`` must not collide with those names —
+    a caller whose frame already had a w1/w2/w3/_h would otherwise get
+    silent duplicate/ambiguous columns (r15 ADVICE item 3)."""
+    reserved = {"_h", "w1", "w2", "w3"} & set(keep)
+    if reserved:
+        raise ValueError(
+            f"with_md5_words: keep columns {sorted(reserved)} collide "
+            "with the reserved output names (_h, w1..w3)"
+        )
     h = df.select(
         *keep, F.md5(F.concat(F.lit(salt + "|"), col)).alias("_h")
     )

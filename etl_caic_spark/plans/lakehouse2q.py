@@ -44,9 +44,12 @@ def write_banded_layout(
     requested). Directories are renamed from the writer's `__f=fi` form
     to the bare `fi` names the log-replay/vacuum/DV code addresses, so
     every consumer path stays unchanged. `file_col` must be a string
-    column with exactly the values f0..f{{n-1}}; the rename asserts all
-    n landed (an empty band would silently drop a file — fail loudly
-    instead)."""
+    column whose values fall in f0..f{{n-1}}: any OTHER value (a null
+    band becomes `__HIVE_DEFAULT_PARTITION__`) fails loudly with the
+    offending names, while a band that received no rows gets an empty
+    parquet file — matching the old per-band filtered write, which
+    tolerated empty bands for the data-dependent band expressions
+    (r15 ADVICE items 1 and 4)."""
     import shutil
 
     shutil.rmtree(base, ignore_errors=True)
@@ -61,7 +64,15 @@ def write_banded_layout(
         if d.startswith("__f="):
             os.rename(os.path.join(base, d), os.path.join(base, d[4:]))
             seen.add(d[4:])
-    assert seen == {f"f{i}" for i in range(n_files)}, sorted(seen)
+    expected = {f"f{i}" for i in range(n_files)}
+    extra = sorted(seen - expected)
+    assert not extra, (
+        f"write_banded_layout: unexpected band dirs {extra} — the band "
+        f"expression must yield only f0..f{n_files - 1} strings "
+        f"(null/out-of-range values?); expected {sorted(expected)}"
+    )
+    for name in sorted(expected - seen):  # empty band -> empty parquet file
+        src.limit(0).write.mode("overwrite").parquet(os.path.join(base, name))
 
 
 @register(

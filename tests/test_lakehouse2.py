@@ -46,3 +46,27 @@ def test_delete_vectors_remove_exact_rows(spark, sf_dir):
     assert visible == expected
     deleted = o.count() - expected
     assert deleted > 0, "the DV must actually tombstone something"
+
+
+def test_write_banded_layout_tolerates_empty_band(spark, tmp_path):
+    # r16 (r15 ADVICE items 1/4): a band that receives no rows must land
+    # as an empty parquet file (the old per-band filtered write's
+    # behavior), not an AssertionError; out-of-range band values must
+    # fail loudly with the offending names.
+    from etl_caic_spark.plans.lakehouse2q import write_banded_layout
+
+    src = spark.range(10).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("k")
+    )
+    base = str(tmp_path / "banded")
+    # bands f0/f1 populated, f2/f3 empty
+    write_banded_layout(src, F.concat(F.lit("f"), "k"), base, 4)
+    for name, want in [("f0", 5), ("f1", 5), ("f2", 0), ("f3", 0)]:
+        df = spark.read.parquet(os.path.join(base, name))
+        assert df.count() == want
+        assert df.columns == ["id", "k"]
+    # an out-of-range band name fails loudly
+    import pytest
+
+    with pytest.raises(AssertionError, match="f9"):
+        write_banded_layout(src, F.lit("f9"), str(tmp_path / "bad"), 2)

@@ -1,8 +1,8 @@
-"""Round-15 optimization probe: isolated warm timings + formatted plans.
+"""Optimization probe (r15+): isolated warm timings + formatted plans.
 
 For each named query (or the slowest-K from the newest BENCH_FULL archive
 when none are named): capture `.explain("formatted")` to
-plans/r15/<name>_<tag>.txt and time the noop-sink run N times on a warmed
+plans/r16/<name>_<tag>.txt (override via $OPT_PROBE_PLANS_DIR) and time the noop-sink run N times on a warmed
 local[$SPARK_GRAFT_CPUS] session, reporting every reading and the min.
 The min-of-N warm reading is the steal-resistant comparison axis the
 bench's steal_adjusted block converges to (guide §1.1/§1.4).
@@ -18,12 +18,12 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from etl_caic_spark.registry import all_specs  # noqa: E402
 from etl_caic_spark.session import get_spark  # noqa: E402
 
-PLANS_DIR = "/root/repo/plans/r15"
+PLANS_DIR = os.environ.get("OPT_PROBE_PLANS_DIR", "/root/repo/plans/r16")
 
 
 def main() -> None:
@@ -53,7 +53,7 @@ def main() -> None:
             i += 1
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark(app_name="opt-probe-r15", cpus=cpus)
+    spark = get_spark(app_name="opt-probe", cpus=cpus)
     specs = all_specs()
     missing = [n for n in names if n not in specs]
     if missing:

@@ -12,36 +12,19 @@ Usage: python tools/qhash.py [--sf-dir DIR] query [query ...]
 
 from __future__ import annotations
 
-import hashlib
-import math
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from etl_caic_spark.registry import all_specs  # noqa: E402
 from etl_caic_spark.session import get_spark  # noqa: E402
 
-
-def canon(v):
-    if v is None:
-        return "∅"
-    if isinstance(v, bool):
-        return f"b:{v}"
-    if isinstance(v, float):
-        return "f:nan" if math.isnan(v) else f"f:{v!r}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
-    return f"{type(v).__name__[0]}:{v}"
-
-
-def value_hash(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon_rows = sorted(tuple(canon(r[i]) for i in order) for r in rows)
-    h = hashlib.sha256()
-    for r in canon_rows:
-        h.update(("|".join(r) + "\n").encode())
-    return h.hexdigest()
+# The whole point of this tool is to compute EXACTLY driver_sim's hash;
+# import its canonicalization instead of copy-pasting it (r15 ADVICE:
+# a future edit to driver_sim's canon() would silently desynchronize
+# the equivalence gate).
+from tools.driver_sim import canon, value_hash  # noqa: E402, F401
 
 
 def main() -> None:
