@@ -59,7 +59,7 @@ training-data surface — SURVEY §2.C extension mandate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_caic_spark.registry import register
@@ -179,6 +179,16 @@ def pq_shortlist_frames(
     # stage ADDED ~0.7 s of task/AQE overhead (bench 4.4 -> 5.1) with
     # no compute to amortize it. At real scale the scan arrives wide on
     # its own and widen_narrow_scan is the no-op branch either way.
+    # r16: checkpoint HASH-PARTITIONED BY vec_id (still width 1 — the
+    # r15 width sweep {1,8,32} stands: 2.77/3.45/4.43, task overhead
+    # swamps the tiny compute). localCheckpoint preserves the child's
+    # outputPartitioning in the LogicalRDD, so every downstream
+    # groupBy/join keyed on vec_id (both assignment rounds, adc, the
+    # exact rerank legs of sim_pq_adc AND eval_pq_recall) now satisfies
+    # its ClusteredDistribution from the checkpoint and plans WITHOUT an
+    # Exchange — the pipeline's cost is ~15 serial mini-stages of pure
+    # orchestration (guide §2.4: remove shuffles outright), and this
+    # removes 4 of the exchanges plus their AQE stage materializations.
     sub = (
         emb.select("vec_id", F.posexplode("embedding").alias("d", "xf"))
         .select(
@@ -187,27 +197,32 @@ def pq_shortlist_frames(
             "d",
             F.round(F.col("xf").cast("double") * 1e6).cast("bigint").alias("x"),
         )
+        .repartition(1, "vec_id")
         .localCheckpoint()
     )
-    ids = emb.select("vec_id").distinct()
+    # r16: anchor ids come from the CHECKPOINTED coordinate stream (the
+    # d = 0 slice has exactly one row per vector — vec_id is the
+    # embeddings fixture's unique key, pinned by
+    # tests/test_fixture_contract.py), replacing a second parquet scan
+    # + a 2-stage distinct aggregate with a map-only filter. The
+    # oracle's DISTINCT vec_id is a no-op on a unique key: same ids.
+    ids = sub.filter(F.col("d") == 0).select("vec_id")
     hashed = ids.select(
         "vec_id",
         F.md5(F.concat(F.lit("pq-v1|"), F.col("vec_id").cast("string"))).alias("h"),
     )
-    # rank the K anchors among themselves by the portable draw: the
-    # frame is K rows after the top-K take, so the count-smaller
-    # self-join is constant work (no global window)
+    # rank the K anchors among themselves by the portable draw. r16: a
+    # row_number window over the K-row top frame (already a single
+    # partition after the limit) replaces the count-smaller self-join,
+    # whose ta/tb sides each re-ran the scan+distinct+sort subtree
+    # (plans/r15/sim_pq_adc_before.txt ops (5)-(15): two parquet scans,
+    # two aggregates, two TakeOrdered for one 16-row frame). Identical
+    # k values: count of strictly-(h, vec_id)-smaller rows == rank - 1
+    # under the same total order.
     top = hashed.orderBy("h", "vec_id").limit(_PQ_K)
-    ta, tb = top.alias("ta"), top.alias("tb")
-    anch = (
-        ta.join(
-            F.broadcast(tb),
-            (F.col("tb.h") < F.col("ta.h"))
-            | ((F.col("tb.h") == F.col("ta.h")) & (F.col("tb.vec_id") < F.col("ta.vec_id"))),
-            "left",
-        )
-        .groupBy(F.col("ta.vec_id").alias("vec_id"))
-        .agg(F.count(F.col("tb.vec_id")).cast("bigint").alias("k"))
+    wk = Window.orderBy("h", "vec_id")
+    anch = top.select(
+        "vec_id", (F.row_number().over(wk) - 1).cast("bigint").alias("k")
     )
     aw = F.broadcast(
         anch.join(sub, "vec_id").select("k", "s", "d", F.col("x").alias("ax"))

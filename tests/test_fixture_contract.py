@@ -247,3 +247,13 @@ def test_readme_counts_match_registry():
     assert m and int(m.group(1)) == n_oracled, (
         f"README oracled count != {n_oracled}"
     )
+
+
+def test_embeddings_vec_id_unique():
+    """r16: pq_shortlist_frames derives its anchor-id universe from the
+    d = 0 slice of the coordinate stream instead of DISTINCT vec_id —
+    sound only while vec_id stays the embeddings fixture's unique key
+    (verified true at sf0.001/0.01/0.1)."""
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"), columns=["vec_id"])
+    ids = t.column("vec_id").to_pylist()
+    assert len(ids) == len(set(ids))
