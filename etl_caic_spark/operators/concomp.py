@@ -95,6 +95,49 @@ def _shortcut(replab: DataFrame) -> DataFrame:
     )
 
 
+def connected_components_gated(
+    edges: DataFrame, driver_edge_cutoff: int = 1_000_000
+) -> DataFrame:
+    """Size-gated hybrid over ``connected_components`` (r16, the r15
+    verdict's ask #7 — the operators/components.py precedent): when the
+    raw edge list has at most ``driver_edge_cutoff`` rows (1M pairs ≈
+    16 MB of longs, trivially driver-resident), ONE bounded
+    ``limit(cutoff+1).collect()`` job feeds a driver union-find and the
+    star-contraction loop's per-round fixed cost (per round: a take(1)
+    convergence probe, a contraction join chain, plus per-jump
+    checkpoint + take(1) inside the pointer-doubling shortcut — a dozen
+    serial blocking jobs for a duplicate-clique graph) never runs.
+    Above the cutoff — the regime a 100 TB corpus's candidate pairs
+    land in — the distributed loop below runs unchanged, and the probe
+    cost is one short-circuited scan of cutoff+1 rows. Output identical
+    by construction: same (v, component = min reachable id) rows
+    (union-find with union-by-min; duplicate/asymmetric edges absorbed).
+    ``driver_edge_cutoff=0`` forces the distributed path (tests)."""
+    if driver_edge_cutoff > 0:
+        probe = (
+            edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .limit(driver_edge_cutoff + 1)
+            .collect()
+        )
+        if len(probe) <= driver_edge_cutoff:
+            from etl_caic_spark.operators.components import _driver_union_find
+
+            # vtype from the POST-UNION schema: if a/b differ in width
+            # the distributed path's label union would widen — the
+            # driver path must declare the same type (components.py
+            # r13 ADVICE lesson).
+            vtype = (
+                edges.select(F.col("a").alias("v"))
+                .unionByName(edges.select(F.col("b").alias("v")))
+                .schema["v"]
+                .dataType
+            )
+            return _driver_union_find(
+                probe, edges.sparkSession, vtype
+            ).select(F.col("member").alias("v"), "component")
+    return connected_components(edges)
+
+
 def connected_components(edges: DataFrame) -> DataFrame:
     """edges(a, b) undirected, a != b -> (v, component) for every
     endpoint, where component is the MINIMUM node id reachable from v

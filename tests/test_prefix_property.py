@@ -207,3 +207,25 @@ def test_strip_plan_stats_fallback_warns_once(spark):
         assert U._STRIP_STATS_UNAVAILABLE is True
     finally:
         U._STRIP_STATS_UNAVAILABLE = old_flag
+
+
+def test_connected_components_gated_matches_distributed(spark):
+    """r16: the size-gated hybrid's driver path must return exactly the
+    distributed star-contraction's labels (same rows, same types) — and
+    cutoff=0 must force the distributed path."""
+    from etl_caic_spark.operators.concomp import connected_components_gated
+
+    edges = [(2, 1), (3, 2), (5, 9), (9, 5), (7, 7), (10, 11)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    via_driver = {
+        (r["v"], r["component"])
+        for r in connected_components_gated(df).collect()
+    }
+    via_dist = {
+        (r["v"], r["component"])
+        for r in connected_components_gated(df, driver_edge_cutoff=0).collect()
+    }
+    assert via_driver == via_dist
+    assert connected_components_gated(df).schema == connected_components_gated(
+        df, driver_edge_cutoff=0
+    ).schema
