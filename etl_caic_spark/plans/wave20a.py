@@ -735,20 +735,36 @@ def dedup_ensemble_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # union-shaped corpus the band self-join's two sig-carrying sides
     # don't collapse into one ReusedExchange, so the sig pipeline ran
     # twice — the checkpointed sig frame is load-bearing in this plan.
-    mh = D.minhash_lsh_pairs_md5(
-        corpus, "doc_id", "text", num_hashes=16, bands=8, k=3, threshold=0.5
-    )
+    #
+    # r16 (guide §2.6, overlap independent jobs): the minhash and
+    # simhash legs each block the driver on their internal
+    # localCheckpoint (sig frame ~1.0 s, fingerprint frame ~2.2 s warm
+    # at sf0.1) and are fully independent — building them from a
+    # 2-thread pool overlaps the two checkpoint jobs, and the second
+    # job's tasks back-fill the first's stragglers (measured: the two
+    # builds 2.7 -> 1.5 s warm, same pair sets; checkpoint
+    # materialization is order-independent).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fmh = pool.submit(
+            D.minhash_lsh_pairs_md5, corpus, "doc_id", "text", 16, 8, 3, 0.5
+        )
+        # block-combination keys (60-bit fp, 6x10-bit blocks, C(6,3)=20
+        # block-triple tables, 2^30 key space): single-block candidate
+        # generation is n²/2^width by construction — the 32-bit/
+        # 8-bit-block pin went quadratic at the 30x probe (100 s) and
+        # even 4x15-bit blocks left a super-linear 100x term; triple
+        # keys are the published scale shape (simhash_pairs_md5_combo)
+        fsh = pool.submit(
+            D.simhash_pairs_md5_combo, corpus, "doc_id", "text", 3
+        )
+        mh = fmh.result()
+        sh = fsh.result()
     mhf = (
         mh.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .distinct()
     )
-    # block-combination keys (60-bit fp, 6x10-bit blocks, C(6,3)=20
-    # block-triple tables, 2^30 key space): single-block candidate
-    # generation is n²/2^width by construction — the 32-bit/8-bit-block
-    # pin went quadratic at the 30x probe (100 s) and even 4x15-bit
-    # blocks left a super-linear 100x term; triple keys are the
-    # published scale shape (see simhash_pairs_md5_combo)
-    sh = D.simhash_pairs_md5_combo(corpus, "doc_id", "text", max_hamming=3)
     shf = (
         sh.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .distinct()

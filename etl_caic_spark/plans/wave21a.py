@@ -351,15 +351,26 @@ def eval_semdedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     (<= 8 rows). Composite cost is the sum of its two legs by
     construction — the same adjudication class as
     dedup_ensemble_agreement and corpus_curation_pipeline."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from etl_caic_spark.plans.wave11b import dedup_semantic_embedding
     from etl_caic_spark.plans.wave20a import dedup_semdedup_prune
 
-    lsh = dedup_semantic_embedding(spark, sf_dir).select(
-        "vec_id", F.col("is_kept").alias("kept_lsh")
-    )
-    ivf = dedup_semdedup_prune(spark, sf_dir).select(
-        "vec_id", F.col("is_kept").alias("kept_ivf")
-    )
+    # r16 (guide §2.6, the dedup_ensemble_agreement pattern): both leg
+    # BUILDS block the driver on internal materializations (the SRP
+    # pipeline's checkpoints + the gated-CC probe on the LSH side, the
+    # assignment checkpoint on the IVF side) and are fully independent —
+    # a 2-thread pool overlaps them; materialization order cannot
+    # change either leg's rows.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        flsh = pool.submit(dedup_semantic_embedding, spark, sf_dir)
+        fivf = pool.submit(dedup_semdedup_prune, spark, sf_dir)
+        lsh = flsh.result().select(
+            "vec_id", F.col("is_kept").alias("kept_lsh")
+        )
+        ivf = fivf.result().select(
+            "vec_id", F.col("is_kept").alias("kept_ivf")
+        )
     j = ivf.join(lsh, "vec_id", "left").select(
         (F.col("vec_id") >= 100000).alias("is_twin"),
         F.coalesce("kept_lsh", F.lit(True)).alias("kept_lsh"),
