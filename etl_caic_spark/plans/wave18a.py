@@ -28,6 +28,9 @@ text/embedding surface) — SURVEY §2.C extension mandate.
 
 from __future__ import annotations
 
+import operator
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -294,31 +297,35 @@ def eval_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = D.minhash_md5_signatures(
         d, "doc_id", "text", num_hashes=_SWEEP_HASHES, k=3
     ).localCheckpoint()
-    # ONE self-join for all three configs: the banded rows of every
-    # config union first (with a bands tag in the key), so the bucket
-    # join, the distinct, and the signature-verify joins each run once
-    # over the union instead of once per config (r14: replaced three
-    # per-config minhash_md5_candidate_pairs calls — 3 self-joins + 6
-    # sig joins — with this shape; same candidate set per config, the
-    # builder's exact est_jaccard float compare).
-    banded = None
-    for bands in _SWEEP_BANDS:
-        leg = D._md5_banded(
-            sig, _SWEEP_HASHES, bands, carry_sig=False
-        ).select(F.lit(bands).alias("bands"), "doc", "band_idx", "band_hash")
-        banded = leg if banded is None else banded.unionByName(leg)
+    # ONE self-join for all three configs — r16: over the FINEST config
+    # only. Band NESTING makes the 16x1 candidate set a superset of the
+    # 8x2 and 4x4 sets: an r-row band of a coarser config matching means
+    # its sig slice is equal elementwise, so every 1-row sub-band
+    # matches too (equal strings hash to the equal md5 the 16x1 join
+    # keys on). The coarser configs' membership is therefore a PER-PAIR
+    # PROJECTION over the joined signatures — band b of config (bands,
+    # r = 16/bands) matches iff sig positions b*r+1..b*r+r are all
+    # equal — instead of two more banded legs in the self-join input
+    # (r14 had already fused 3 self-joins into 1 over a 3-config union;
+    # this drops the union too: 28 -> 16 banded rows per doc, and the
+    # candidate distinct runs at pair grain instead of (config, pair)
+    # grain). Equal-value semantics are exact: the oracle keys coarse
+    # bands on md5(slice-join) over fixed-width hex entries, and slice
+    # equality <=> band-hash equality (the join is injective; an md5
+    # collision between UNEQUAL slices is the same 2^-128 event every
+    # md5-keyed query already rides — hash-verified against the oracle
+    # at sf0.01/0.1).
+    banded = D._md5_banded(sig, _SWEEP_HASHES, _SWEEP_BANDS[0], carry_sig=False)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.bands") == F.col("b.bands"))
-            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
         .select(
-            F.col("a.bands").alias("bands"),
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
         )
@@ -331,11 +338,41 @@ def eval_lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda acc, x: acc + x,
     )
+
+    def in_config(bands: int):
+        rows = _SWEEP_HASHES // bands
+        band_eq = [
+            F.expr(
+                " AND ".join(
+                    f"sig_a[{b * rows + i}] = sig_b[{b * rows + i}]"
+                    for i in range(rows)
+                )
+            )
+            for b in range(bands)
+        ]
+        # membership in the finest config is true by construction
+        return F.lit(True) if rows == 1 else reduce(operator.or_, band_eq)
+
+    flags = F.array(
+        *[
+            F.struct(
+                F.lit(bands).alias("bands"), in_config(bands).alias("inb")
+            )
+            for bands in _SWEEP_BANDS
+        ]
+    )
     kept = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(agree / F.lit(_SWEEP_HASHES) >= 0.5)
-        .select("bands", "doc_a", "doc_b", F.lit(1).alias("in_cand"))
+        .select("doc_a", "doc_b", F.explode(flags).alias("f"))
+        .where(F.col("f.inb"))
+        .select(
+            F.col("f.bands").alias("bands"),
+            "doc_a",
+            "doc_b",
+            F.lit(1).alias("in_cand"),
+        )
     )
     fanout = spark.sparkContext.defaultParallelism
     sh = (
