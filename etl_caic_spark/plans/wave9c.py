@@ -49,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_caic_spark.operators.concomp import connected_components
+from etl_caic_spark.operators.concomp import connected_components_gated
 from etl_caic_spark.registry import register
 from etl_caic_spark.sources import load_table
 
@@ -87,8 +87,17 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds the new representative labels back onto the node frame;
     lab/carcs localCheckpoint per round (lineage cut — the
     iterative-plan discipline shared with graph_hits, wave8c.py). All
-    shuffles are keyed by node/label id; nothing is ever collected but
-    the one-row emptiness count."""
+    shuffles are keyed by node/label id.
+
+    r16: size-gated like every other componentization consumer
+    (concomp.connected_components_gated — one bounded probe, driver
+    union-find below 1M raw edges, the distributed loop above; labels
+    identical by construction, pinned by
+    tests/test_prefix_property.py). The residue-sparsified fixture
+    graph saturates at ~150 nodes at every SF, so at bench scale the
+    star-contraction rounds were a dozen serial blocking jobs of pure
+    fixed cost; at 100 TB edge counts exceed the gate and the
+    distributed loop above runs unchanged."""
     ev = load_table(spark, sf_dir, "events")
     dst = (F.col("user_id") * 7 + F.col("event_id")) % 150
     edges = (
@@ -100,6 +109,6 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    return connected_components(edges).select(
+    return connected_components_gated(edges).select(
         F.col("v").alias("user_id"), "component"
     )
