@@ -362,40 +362,58 @@ def eval_chrf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
     )
 
-    def grams(n: int) -> DataFrame:
-        return (
-            pairs.filter(F.length("text") >= n)
-            .select(
-                "pair_id",
-                "side",
-                F.explode(
-                    F.expr(
-                        f"transform(sequence(1, length(text) - {n - 1}),"
-                        f" i -> substring(text, i, {n}))"
-                    )
-                ).alias("g"),
-            )
-            .groupBy("pair_id", "side", "g")
-            .agg(F.count("*").cast("bigint").alias("c"))
+    # r16: BOTH gram orders in one keyed pipeline. The 2-gram and 3-gram
+    # legs were two near-identical chains (scan+explode -> (pair, side,
+    # gram) aggregate -> hyp-vs-ref join -> fold) that only met at the
+    # final crossJoin; tagging every gram row with its order n fuses
+    # them into ONE explode, ONE aggregate, ONE (pair_id, n, g) join and
+    # ONE per-n fold — same row volume, half the stages (the r15 note
+    # considered merging only the scans; the agg+join chains dominate).
+    # Counts are identical per (pair, side, n, gram) key, so every
+    # downstream integer is unchanged.
+    grams = (
+        pairs.filter(F.length("text") >= 2)
+        .select(
+            "pair_id",
+            "side",
+            F.explode(
+                F.expr(
+                    "flatten(transform(array(2, 3), n -> CASE"
+                    " WHEN length(text) >= n THEN"
+                    " transform(sequence(1, length(text) - n + 1),"
+                    " i -> struct(n AS n, substring(text, i, n) AS g))"
+                    " ELSE array() END))"
+                )
+            ).alias("ng"),
         )
-
-    def fold(gr: DataFrame) -> DataFrame:
-        h = gr.filter(F.col("side") == 1).select("pair_id", "g", F.col("c").alias("hc"))
-        r = gr.filter(F.col("side") == 0).select("pair_id", "g", F.col("c").alias("rc"))
-        clip = h.join(r, ["pair_id", "g"], "left").agg(
-            F.sum(F.least(F.col("hc"), F.coalesce(F.col("rc"), F.lit(0))))
-            .cast("bigint")
-            .alias("m"),
-            F.sum("hc").cast("bigint").alias("h"),
-        )
-        reftot = r.agg(F.sum("rc").cast("bigint").alias("r"))
-        return clip.crossJoin(reftot)
-
-    f2 = fold(grams(2)).select(
-        F.col("m").alias("match2"), F.col("h").alias("hyp2"), F.col("r").alias("ref2")
+        .select("pair_id", "side", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+        .groupBy("pair_id", "side", "n", "g")
+        .agg(F.count("*").cast("bigint").alias("c"))
     )
-    f3 = fold(grams(3)).select(
-        F.col("m").alias("match3"), F.col("h").alias("hyp3"), F.col("r").alias("ref3")
+    h = grams.filter(F.col("side") == 1).select(
+        "pair_id", "n", "g", F.col("c").alias("hc")
+    )
+    r = grams.filter(F.col("side") == 0).select(
+        "pair_id", "n", "g", F.col("c").alias("rc")
+    )
+    clip = h.join(r, ["pair_id", "n", "g"], "left").groupBy("n").agg(
+        F.sum(F.least(F.col("hc"), F.coalesce(F.col("rc"), F.lit(0))))
+        .cast("bigint")
+        .alias("m"),
+        F.sum("hc").cast("bigint").alias("h"),
+    )
+    reftot = r.groupBy("n").agg(F.sum("rc").cast("bigint").alias("r"))
+    folded = clip.join(reftot, "n")
+    # pivot the 2-row (n, m, h, r) fold to one row WITHOUT filtering the
+    # subtree twice (two filters = two executions of the whole pipeline)
+    pick = lambda n, c: F.max(F.when(F.col("n") == n, F.col(c)))  # noqa: E731
+    wide = folded.agg(
+        pick(2, "m").alias("match2"),
+        pick(2, "h").alias("hyp2"),
+        pick(2, "r").alias("ref2"),
+        pick(3, "m").alias("match3"),
+        pick(3, "h").alias("hyp3"),
+        pick(3, "r").alias("ref3"),
     )
     s2 = F.round(F.col("match2") * 5000000.0 / (4 * F.col("ref2") + F.col("hyp2"))).cast(
         "bigint"
@@ -403,7 +421,7 @@ def eval_chrf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = F.round(F.col("match3") * 5000000.0 / (4 * F.col("ref3") + F.col("hyp3"))).cast(
         "bigint"
     )
-    return f2.crossJoin(f3).select(
+    return wide.select(
         "match2",
         "hyp2",
         "ref2",
