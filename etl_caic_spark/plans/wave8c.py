@@ -110,20 +110,22 @@ _iln = iln  # shared micro-nat integer log (operators/micronat.py)
 
 def _pool_rank(pool: DataFrame, score_col: str, rank_name: str) -> DataFrame:
     """Rank a TakeOrderedAndProject candidate pool (<= _RRF_CAND rows) by
-    (score desc, doc_id asc) WITHOUT any window: rank = 1 + count of
-    strictly-better pool members, via a broadcast self-join — constant
-    work on the N-bounded frame, and the query plan carries no Window
-    operator at all. Equal to row_number because the tiebreak makes the
-    order total."""
-    pa, pb = pool.alias("pa"), pool.alias("pb")
-    better = (F.col(f"pb.{score_col}") > F.col(f"pa.{score_col}")) | (
-        (F.col(f"pb.{score_col}") == F.col(f"pa.{score_col}"))
-        & (F.col("pb.doc_id") < F.col("pa.doc_id"))
-    )
-    return (
-        pa.join(F.broadcast(pb), better, "left")
-        .groupBy(F.col("pa.doc_id").alias("doc_id"))
-        .agg((F.count(F.col("pb.doc_id")) + 1).cast("bigint").alias(rank_name))
+    (score desc, doc_id asc): row_number over the N-bounded pool — the
+    frame is already a single partition after the limit, so the window
+    is one task of constant work at any corpus size.
+
+    r16: this replaces a broadcast count-smaller self-join. The
+    self-join's two pool instances sat on opposite sides of a
+    BroadcastExchange, which ReusedExchange cannot collapse — each
+    leg's ENTIRE scoring pipeline (the corpus-wide tf aggregate / the
+    cosine scan) executed twice per rank call (wave A's PQ-anchor find,
+    same law). Values identical: rank = 1 + count of strictly-better ==
+    row_number under the total (score desc, doc_id asc) order."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc(score_col), F.asc("doc_id"))
+    return pool.select(
+        "doc_id", F.row_number().over(w).cast("bigint").alias(rank_name)
     )
 
 
