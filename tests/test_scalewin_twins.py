@@ -94,9 +94,31 @@ def test_r9_rewritten_anchors_have_no_global_window(spark, sf_dir, name):
         )
 
 
-def test_rrf_fusion_is_windowless(spark, sf_dir):
-    """rag_rrf_fusion went further than partitioned windows: pool ranks
-    come from a broadcast count-smaller self-join over the N-bounded
-    candidate pools, so the plan carries NO window operator at all."""
+def test_rrf_fusion_windows_only_over_limited_pools(spark, sf_dir):
+    """r16 (wave B6): rag_rrf_fusion's pool ranks are row_number windows
+    over the N-bounded candidate pools — each window must sit directly
+    over a LIMITed (<= _RRF_CAND rows) subtree, never over a
+    corpus-grain frame. (The previous count-smaller self-join form was
+    windowless but put each pool on both sides of a BroadcastExchange,
+    executing every scoring pipeline twice; this pins the replacement's
+    scale property instead.)"""
     plan = _optimized_plan(SPECS["rag_rrf_fusion"].fn(spark, sf_dir))
-    assert "windowspecdefinition" not in plan
+    n_windows = plan.count("windowspecdefinition")
+    assert n_windows == 2, f"expected exactly the two pool-rank windows:\n{plan}"
+    # every Window node's child chain must reach a GlobalLimit before
+    # any relation scan — i.e. the window input is a bounded pool
+    for m in re.finditer(r"^( *)[+:]- Window ", plan, re.M):
+        indent = len(m.group(1))
+        rest = plan[m.end():]
+        for line in rest.splitlines():
+            stripped = re.match(r"( *)[+:]- (\w+)", line)
+            if not stripped or len(stripped.group(1)) <= indent:
+                continue
+            node = stripped.group(2)
+            if node == "GlobalLimit":
+                break
+            assert node not in ("Relation", "LogicalRDD"), (
+                "window over an unlimited frame:\n" + plan
+            )
+        else:
+            raise AssertionError("no GlobalLimit under a Window:\n" + plan)
